@@ -1,0 +1,99 @@
+"""Benchmark: full training-step throughput (SpMM fwd+bwd) in edges/s/chip.
+
+Runs the jitted train step — full-graph two-layer multi-relational
+encoder forward AND backward, decoder scoring, negative sampling, Adam —
+on the reference's dummy-config graph (500 genes, 400 drugs, 3 drug-drug
+relations + transposes; legacy ``main.py:134-218``), the exact workload
+behind the reference's recorded per-iteration latency (~0.0055 s/iter on
+the author's machine, ``decagon_iteration_results_0.csv``; SURVEY.md §6).
+
+Metric: adjacency edges aggregated per second through one chip, counting
+each layer once per direction (2 layers x (fwd+bwd)).  ``vs_baseline`` is
+the ratio to the reference's effective edges/s at the same workload
+(same nnz / 0.0055 s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_ITER_LATENCY_S = 0.0055  # decagon_iteration_results_0.csv Latency
+
+
+def main() -> None:
+    from decagon_tpu.graph.device import build_device_graph
+    from decagon_tpu.graph.split import split_graph
+    from decagon_tpu.graph.synthetic import make_synthetic_graph
+    from decagon_tpu.models.model import DecagonModel, ModelConfig
+    from decagon_tpu.train.sampler import MinibatchScheduler
+    from decagon_tpu.train.step import TrainConfig, make_train_steps
+
+    graph = make_synthetic_graph(
+        n_genes=500, n_drugs=400, n_drugdrug_types=3, seed=0
+    )
+    splits = split_graph(graph, val_frac=0.05, test_frac=0.0, seed=1)
+    device_graph = build_device_graph(graph, splits)
+    model = DecagonModel(ModelConfig(hidden1=64, hidden2=32, dropout=0.1),
+                         device_graph)
+    cfg = TrainConfig(batch_size=512, learning_rate=1e-3)
+    steps, optimizer = make_train_steps(model, device_graph, cfg)
+
+    params = model.init_params(jax.random.PRNGKey(0), device_graph)
+    opt_state = optimizer.init(params)
+
+    # Total adjacency nnz actually aggregated per step (padding excluded).
+    nnz = sum(
+        int(jnp.count_nonzero(a.vals)) for a in device_graph.adj.values()
+    )
+
+    scheduler = MinibatchScheduler(graph, splits, batch_size=512, seed=0)
+    batches = list(scheduler.epoch())
+
+    def run(batch, params, opt_state):
+        step_fn = steps[batch.edge_type]
+        return step_fn(
+            params, opt_state, device_graph, jnp.int32(batch.k),
+            jnp.asarray(batch.rows), jnp.asarray(batch.cols),
+            jax.random.PRNGKey(0),
+        )
+
+    # Warmup: compile every edge-type variant.
+    seen = set()
+    for b in batches:
+        if b.edge_type not in seen:
+            params, opt_state, loss = run(b, params, opt_state)
+            loss.block_until_ready()
+            seen.add(b.edge_type)
+
+    # Timed steady-state loop.
+    n_timed = min(60, len(batches))
+    start = time.perf_counter()
+    for b in batches[:n_timed]:
+        params, opt_state, loss = run(b, params, opt_state)
+    loss.block_until_ready()
+    elapsed = time.perf_counter() - start
+    step_latency = elapsed / n_timed
+
+    edges_per_s = nnz / step_latency
+    ref_edges_per_s = nnz / REFERENCE_ITER_LATENCY_S
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_edges_per_s_per_chip",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(edges_per_s / ref_edges_per_s, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

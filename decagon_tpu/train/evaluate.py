@@ -1,0 +1,156 @@
+"""Accuracy evaluation: AUROC / AUPRC / AP@k over held-out edges.
+
+Parity spec: reference ``DecagonAccuracyEvaluator``
+(``main/AccuracyEvaluators/Tensorflow/DecagonAccuracyEvaluator.py``) and
+legacy ``get_accuracy_scores`` (``main.py:44-90``): sigmoid scores on
+held-out positive and sampled-negative edges; AUROC via
+``roc_auc_score``, AUPRC via ``average_precision_score``; AP@k ranks all
+scored edges and measures precision of the top-k against the positives
+(``decagon/utility/rank_metrics.py:4-40``; the framework evaluator stubs
+APK to 0 — here it is actually computed, matching legacy intent).
+
+TPU divergence: scores come from the sampled-edge SDDMM path (padded to
+static shapes), never from a dense N x N ``predictions`` matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from sklearn import metrics as skmetrics
+
+from decagon_tpu.graph.container import RelationGraph, RelationKey
+from decagon_tpu.graph.split import EdgeSplit
+from decagon_tpu.graph.device import DeviceGraph
+from decagon_tpu.models.model import DecagonModel
+from decagon_tpu.train.step import make_eval_scores
+
+
+@dataclasses.dataclass
+class AccuracyScores:
+    auroc: float
+    auprc: float
+    apk: float
+
+
+def average_precision_at_k(
+    actual: Sequence[int], predicted: Sequence[int], k: int = 10
+) -> float:
+    """AP@k (reference ``rank_metrics.py:4-40`` semantics)."""
+    if len(predicted) > k:
+        predicted = predicted[:k]
+    if not actual:
+        return 0.0
+    actual_set = set(actual)
+    seen = set()
+    score = 0.0
+    hits = 0.0
+    for i, p in enumerate(predicted):
+        if p in actual_set and p not in seen:
+            hits += 1.0
+            score += hits / (i + 1.0)
+        seen.add(p)
+    return score / min(len(actual), k)
+
+
+def compute_scores(
+    probs_pos: np.ndarray, probs_neg: np.ndarray, apk_k: int = 50
+) -> AccuracyScores:
+    probs_all = np.nan_to_num(np.concatenate([probs_pos, probs_neg]))
+    labels_all = np.concatenate(
+        [np.ones(len(probs_pos)), np.zeros(len(probs_neg))]
+    )
+    auroc = float(skmetrics.roc_auc_score(labels_all, probs_all))
+    auprc = float(skmetrics.average_precision_score(labels_all, probs_all))
+    actual = list(range(len(probs_pos)))
+    predicted = list(np.argsort(-probs_all, kind="stable"))
+    apk = average_precision_at_k(actual, predicted, k=apk_k)
+    return AccuracyScores(auroc=auroc, auprc=auprc, apk=apk)
+
+
+class AccuracyEvaluator:
+    """Scores held-out edges for any relation with compiled edge scorers."""
+
+    def __init__(
+        self,
+        model: DecagonModel,
+        graph: RelationGraph,
+        splits: Dict[RelationKey, EdgeSplit],
+        apk_k: int = 50,
+        pad_multiple: int = 512,
+    ):
+        self.model = model
+        self.splits = splits
+        self.apk_k = apk_k
+        self.pad_multiple = pad_multiple
+        self._score_fns = {
+            et: make_eval_scores(model, et) for et in graph.edge_types
+        }
+        self._drug_drug = max(
+            (et for et in graph.edge_types if et[0] == et[1]),
+            default=None,
+        )
+
+    def _probs(
+        self,
+        params,
+        device_graph: DeviceGraph,
+        key: RelationKey,
+        edges: np.ndarray,
+    ) -> np.ndarray:
+        if edges.size == 0:
+            return np.empty((0,), dtype=np.float32)
+        i, j, k = key
+        count = edges.shape[0]
+        padded = (
+            (count + self.pad_multiple - 1) // self.pad_multiple
+        ) * self.pad_multiple
+        rows = np.zeros(padded, dtype=np.int32)
+        cols = np.zeros(padded, dtype=np.int32)
+        rows[:count] = edges[:, 0]
+        cols[:count] = edges[:, 1]
+        probs = self._score_fns[(i, j)](
+            params, device_graph, k, rows, cols
+        )
+        return np.asarray(probs)[:count]
+
+    def evaluate(
+        self,
+        params,
+        device_graph: DeviceGraph,
+        key: RelationKey,
+        use_test: bool = False,
+    ) -> AccuracyScores:
+        split = self.splits[key]
+        pos = split.test if use_test else split.val
+        neg = split.test_false if use_test else split.val_false
+        return compute_scores(
+            self._probs(params, device_graph, key, pos),
+            self._probs(params, device_graph, key, neg),
+            apk_k=self.apk_k,
+        )
+
+    def evaluate_all_drug_drug(
+        self, params, device_graph: DeviceGraph, use_test: bool = False
+    ) -> AccuracyScores:
+        """Pooled scores over every drug-drug relation (reference
+        ``evaluateAll``, ``DecagonAccuracyEvaluator.py:57-91``)."""
+        if self._drug_drug is None:
+            raise ValueError("graph has no square drug-drug edge type")
+        pos_parts: List[np.ndarray] = []
+        neg_parts: List[np.ndarray] = []
+        i, j = self._drug_drug
+        for key, split in self.splits.items():
+            if key[:2] != (i, j):
+                continue
+            pos = split.test if use_test else split.val
+            neg = split.test_false if use_test else split.val_false
+            pos_parts.append(self._probs(params, device_graph, key, pos))
+            neg_parts.append(self._probs(params, device_graph, key, neg))
+        return compute_scores(
+            np.concatenate(pos_parts) if pos_parts else np.empty(0),
+            np.concatenate(neg_parts) if neg_parts else np.empty(0),
+            apk_k=self.apk_k,
+        )

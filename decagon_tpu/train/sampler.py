@@ -1,0 +1,135 @@
+"""Host-side minibatch scheduler over relation edge lists.
+
+Parity spec: reference ``EdgeMinibatchIterator`` scheduling
+(``decagon/deep/minibatch.py:255-345``):
+
+* fixed round-robin: iteration ``t % 4`` cycles gene-gene (0,0,0) ->
+  gene-drug (0,1,0) -> drug-gene (1,0,0) -> a random *free* relation
+  (drug-drug side effect); with no (1,0,0) present the cycle has period 3;
+* fixed types recycle their batches within an epoch (cursor reset on
+  exhaustion); free relations are removed from the pool when exhausted;
+* the epoch ends when the free pool is empty;
+* each epoch reshuffles every relation's train edges and refills the free
+  pool minus the fixed types (``minibatch.py:327-345``);
+* batches are fixed-size slices; the trailing partial batch is dropped
+  (``minibatch.py:300-301``) — static shapes for the jitted step.
+
+The reference checks exhaustion with ``iter % 4`` even when the cycle
+period is 3 (``minibatch.py:304``), which misfiles free relations; the
+intended semantics (fixed -> reset, free -> retire) are implemented.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from decagon_tpu.graph.container import RelationGraph, RelationKey
+from decagon_tpu.graph.split import EdgeSplit
+
+
+@dataclasses.dataclass
+class Minibatch:
+    edge_type: Tuple[int, int]
+    k: int
+    global_idx: int
+    rows: np.ndarray  # [B] int32
+    cols: np.ndarray  # [B] int32
+
+
+class MinibatchScheduler:
+    FIXED_KEYS: Tuple[RelationKey, ...] = ((0, 0, 0), (0, 1, 0), (1, 0, 0))
+
+    def __init__(
+        self,
+        graph: RelationGraph,
+        splits: Dict[RelationKey, EdgeSplit],
+        batch_size: int = 512,
+        seed: int = 123,
+    ):
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.keys: List[RelationKey] = list(graph.relation_keys())
+        self.key_to_idx = {key: idx for idx, key in enumerate(self.keys)}
+        self.train_edges: Dict[RelationKey, np.ndarray] = {
+            key: splits[key].train.copy() for key in self.keys
+        }
+        self.fixed_idxs = [
+            self.key_to_idx[key]
+            for key in self.FIXED_KEYS
+            if key in self.key_to_idx
+        ]
+        self.mod = 4 if (1, 0, 0) in self.key_to_idx else 3
+        self._cursor = np.zeros(len(self.keys), dtype=np.int64)
+        self._free: List[int] = []
+        self._iter = 0
+
+    def epoch(self) -> Iterator[Minibatch]:
+        """Shuffle and yield minibatches until the free pool drains."""
+        self.shuffle()
+        while True:
+            batch = self._next()
+            if batch is None:
+                return
+            yield batch
+
+    def shuffle(self) -> None:
+        for key in self.keys:
+            perm = self.rng.permutation(self.train_edges[key].shape[0])
+            self.train_edges[key] = self.train_edges[key][perm]
+        self._cursor[:] = 0
+        self._free = [
+            idx for idx in range(len(self.keys)) if idx not in self.fixed_idxs
+        ]
+        self._iter = 0
+
+    def num_batches_per_epoch(self) -> int:
+        """Approximate epoch length: free-relation batches dominate."""
+        free = sum(
+            self.train_edges[self.keys[idx]].shape[0] // self.batch_size
+            for idx in range(len(self.keys))
+            if idx not in self.fixed_idxs
+        )
+        # Fixed types interleave 1:1:1:(free) or 1:1:(free).
+        return free * self.mod // max(1, self.mod - len(self.fixed_idxs))
+
+    def _next(self) -> Optional[Minibatch]:
+        while True:
+            phase = self._iter % self.mod
+            if phase < len(self.fixed_idxs):
+                idx = self.fixed_idxs[phase]
+                is_fixed = True
+            else:
+                if not self._free:
+                    return None
+                idx = int(self.rng.choice(self._free))
+                is_fixed = False
+
+            key = self.keys[idx]
+            edges = self.train_edges[key]
+            start = self._cursor[idx] * self.batch_size
+            if start <= edges.shape[0] - self.batch_size:
+                break
+            if is_fixed:
+                self._cursor[idx] = 0
+                if edges.shape[0] < self.batch_size:
+                    # Fixed relation smaller than one batch: skip its slot
+                    # (the reference would spin forever here).
+                    self._iter += 1
+            else:
+                self._free.remove(idx)
+            if not self._free:
+                return None
+
+        self._iter += 1
+        self._cursor[idx] += 1
+        batch = edges[start : start + self.batch_size]
+        return Minibatch(
+            edge_type=key[:2],
+            k=key[2],
+            global_idx=self.key_to_idx[key],
+            rows=np.ascontiguousarray(batch[:, 0], dtype=np.int32),
+            cols=np.ascontiguousarray(batch[:, 1], dtype=np.int32),
+        )

@@ -1,0 +1,109 @@
+"""Training driver: epoch loop over the minibatch scheduler.
+
+Capability spec: reference ``BaseDecagonTrainer``
+(``main/Trainer/DecagonTrainer.py:44-102``) — per epoch: shuffle, iterate
+minibatches, one optimization step per (relation, batch), periodic
+logging/eval/checkpoint hooks, epoch-end evaluation.  Here each step
+dispatches to the pre-compiled per-edge-type jitted step; the graph stays
+device-resident (no per-step feed of adjacencies).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from decagon_tpu.graph.container import RelationGraph, RelationKey
+from decagon_tpu.graph.device import DeviceGraph
+from decagon_tpu.graph.split import EdgeSplit
+from decagon_tpu.models.model import DecagonModel
+from decagon_tpu.train.sampler import Minibatch, MinibatchScheduler
+from decagon_tpu.train.step import TrainConfig, make_train_steps
+
+
+@dataclasses.dataclass
+class IterationResult:
+    """Per-iteration record (reference
+    ``Dtos/Decagon/DecagonTrainingIterationResults.py:3-12``)."""
+
+    epoch: int
+    iteration: int
+    loss: float
+    latency: float
+    edge_type: RelationKey
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: DecagonModel,
+        graph: RelationGraph,
+        splits: Dict[RelationKey, EdgeSplit],
+        device_graph: DeviceGraph,
+        config: TrainConfig,
+        seed: int = 0,
+        iteration_hook: Optional[Callable[["Trainer", IterationResult], None]] = None,
+        epoch_hook: Optional[Callable[["Trainer", int], None]] = None,
+    ):
+        self.model = model
+        self.graph = graph
+        self.splits = splits
+        self.device_graph = device_graph
+        self.config = config
+        self.scheduler = MinibatchScheduler(
+            graph, splits, batch_size=config.batch_size, seed=seed
+        )
+        self.steps, self.optimizer = make_train_steps(
+            model, device_graph, config
+        )
+        init_rng, self.step_rng = jax.random.split(jax.random.PRNGKey(seed))
+        self.params = model.init_params(init_rng, device_graph)
+        self.opt_state = self.optimizer.init(self.params)
+        self.iteration_hook = iteration_hook
+        self.epoch_hook = epoch_hook
+        self.global_step = 0
+
+    def train_batch(self, batch: Minibatch) -> float:
+        step_fn = self.steps[batch.edge_type]
+        rng = jax.random.fold_in(self.step_rng, self.global_step)
+        self.params, self.opt_state, loss = step_fn(
+            self.params,
+            self.opt_state,
+            self.device_graph,
+            jnp.int32(batch.k),
+            jnp.asarray(batch.rows),
+            jnp.asarray(batch.cols),
+            rng,
+        )
+        self.global_step += 1
+        return loss
+
+    def train(self, num_epochs: Optional[int] = None) -> None:
+        epochs = num_epochs or self.config.num_epochs
+        for epoch in range(epochs):
+            iteration = 0
+            for batch in self.scheduler.epoch():
+                start = time.perf_counter()
+                loss = self.train_batch(batch)
+                if self.iteration_hook is not None:
+                    # Block for an honest latency only when someone listens.
+                    loss = float(loss)
+                    latency = time.perf_counter() - start
+                    self.iteration_hook(
+                        self,
+                        IterationResult(
+                            epoch=epoch,
+                            iteration=iteration,
+                            loss=loss,
+                            latency=latency,
+                            edge_type=(*batch.edge_type, batch.k),
+                        ),
+                    )
+                iteration += 1
+            if self.epoch_hook is not None:
+                self.epoch_hook(self, epoch)

@@ -1,0 +1,139 @@
+"""Graph container, IDs, normalization, and splitting tests."""
+
+import numpy as np
+import pytest
+
+from decagon_tpu.graph.container import NodeFeatures, Relation, RelationGraph
+from decagon_tpu.graph.ids import DrugId, ProteinId, SideEffectId
+from decagon_tpu.graph.normalize import normalize_rect, normalize_square
+from decagon_tpu.graph.split import split_graph, split_relation
+from decagon_tpu.graph.synthetic import make_synthetic_graph
+
+from tests.reference_impl import normalize_rect_dense, normalize_square_dense
+
+
+def test_stitch_id_roundtrip():
+    assert int(DrugId("CID000012314")) == 12314
+    assert DrugId(12314).to_external() == "CID000012314"
+    assert int(SideEffectId("C0026780")) == 26780
+    assert SideEffectId(26780).to_external() == "C0026780"
+    assert int(ProteinId("5297")) == 5297
+    assert ProteinId("5297").to_external() == "5297"
+    assert int(DrugId("CID000012310")) == 12310  # reference bug not reproduced
+
+
+def test_synthetic_graph_shape():
+    g = make_synthetic_graph(n_genes=100, n_drugs=40, n_drugdrug_types=2, seed=0)
+    assert g.num_nodes == (100, 40)
+    ets = g.edge_types
+    assert ets[(0, 0)] == 2  # ppi + transpose
+    assert ets[(0, 1)] == 1
+    assert ets[(1, 0)] == 1
+    assert ets[(1, 1)] == 4  # 2 relations + transposes
+    # transpose links present and edges actually flipped
+    t = g.relations[(0, 0)][1]
+    assert t.transpose_of == (0, 0, 0)
+    orig = g.relations[(0, 0)][0]
+    assert set(map(tuple, t.edges)) == {(c, r) for r, c in orig.edges}
+    # drug-gene is transpose of gene-drug
+    dg = g.relations[(1, 0)][0]
+    assert dg.transpose_of == (0, 1, 0)
+
+
+def test_degrees_from_square_relations():
+    g = make_synthetic_graph(n_genes=100, n_drugs=40, n_drugdrug_types=2, seed=0)
+    degs = g.degrees()
+    ppi = g.relations[(0, 0)][0]
+    expected = np.bincount(ppi.cols, minlength=100)
+    np.testing.assert_array_equal(degs[0][0], expected)
+    assert len(degs[1]) == 4  # per drug-drug relation incl. transposes
+
+
+def test_normalize_square_matches_dense_reference():
+    rng = np.random.default_rng(0)
+    n = 30
+    dense = (rng.random((n, n)) < 0.15).astype(np.float64)
+    np.fill_diagonal(dense, 0)
+    rows, cols = np.nonzero(dense)
+    out_r, out_c, out_v = normalize_square(rows, cols, n)
+    got = np.zeros((n, n))
+    got[out_r, out_c] = out_v
+    np.testing.assert_allclose(got, normalize_square_dense(dense), atol=1e-6)
+
+
+def test_normalize_rect_matches_dense_reference():
+    rng = np.random.default_rng(1)
+    dense = (rng.random((20, 12)) < 0.2).astype(np.float64)
+    rows, cols = np.nonzero(dense)
+    out_r, out_c, out_v = normalize_rect(rows, cols, (20, 12))
+    got = np.zeros((20, 12))
+    got[out_r, out_c] = out_v
+    np.testing.assert_allclose(got, normalize_rect_dense(dense), atol=1e-6)
+
+
+def test_split_relation_invariants():
+    rng = np.random.default_rng(2)
+    n = 80
+    dense = (rng.random((n, n)) < 0.3).astype(int)
+    np.fill_diagonal(dense, 0)
+    rows, cols = np.nonzero(dense)
+    edges = np.stack([rows, cols], axis=1)
+    split = split_relation(edges, (n, n), val_frac=0.1, test_frac=0.05,
+                           rng=np.random.default_rng(3))
+    total = len(split.train) + len(split.val) + len(split.test)
+    assert total == len(edges)
+    assert len(split.val) == max(50, int(len(edges) * 0.1))
+    assert len(split.test) == max(50, int(len(edges) * 0.05))
+    # negatives: right count, never true edges, no duplicates
+    for neg in (split.val_false, split.test_false):
+        assert {(r, c) for r, c in neg}.isdisjoint(
+            {(r, c) for r, c in edges}
+        )
+    assert len(split.val_false) == len(split.val)
+    assert len(split.test_false) == len(split.test)
+    assert len({(r, c) for r, c in split.val_false}) == len(split.val_false)
+    # no overlap between train/val/test positives
+    sets = [set(map(tuple, s)) for s in (split.train, split.val, split.test)]
+    assert not (sets[0] & sets[1]) and not (sets[0] & sets[2])
+
+
+def test_split_graph_transpose_sharing():
+    g = make_synthetic_graph(n_genes=120, n_drugs=50, n_drugdrug_types=2, seed=0)
+    splits = split_graph(g, val_frac=0.1, test_frac=0.05, seed=11)
+    base = splits[(0, 0, 0)]
+    tposed = splits[(0, 0, 1)]
+    np.testing.assert_array_equal(base.val[:, 0], tposed.val[:, 1])
+    np.testing.assert_array_equal(base.val[:, 1], tposed.val[:, 0])
+    np.testing.assert_array_equal(base.train[:, 0], tposed.train[:, 1])
+    # normalized adjacency of the transpose is the flipped COO of the base
+    np.testing.assert_array_equal(np.sort(base.adj_rows), np.sort(tposed.adj_cols))
+    np.testing.assert_allclose(np.sort(base.adj_vals), np.sort(tposed.adj_vals))
+    # drug-gene shares with gene-drug across edge types
+    gd, dg = splits[(0, 1, 0)], splits[(1, 0, 0)]
+    np.testing.assert_array_equal(gd.val[:, 0], dg.val[:, 1])
+
+
+def test_split_graph_precomputed_holdout():
+    g = make_synthetic_graph(n_genes=100, n_drugs=60, n_drugdrug_types=1, seed=0)
+    rel = g.relations[(1, 1)][0]
+    pos = rel.edges[:10]
+    neg = np.array([[0, 1], [2, 3]], dtype=np.int32)
+    splits = split_graph(
+        g, val_frac=0.1, seed=5,
+        precomputed_holdout={0: {"positive": pos, "negative": neg}},
+    )
+    s = splits[(1, 1, 0)]
+    np.testing.assert_array_equal(s.val, pos)
+    np.testing.assert_array_equal(s.val_false, neg)
+    assert len(s.test) == 0
+    assert len(s.train) == rel.num_edges  # all edges train
+
+
+def test_masked_graph():
+    g = make_synthetic_graph(n_genes=100, n_drugs=40, n_drugdrug_types=1, seed=0)
+    rel = g.relations[(1, 1)][0]
+    mask = np.zeros(rel.num_edges, dtype=bool)
+    mask[: rel.num_edges // 2] = True
+    masked = g.masked({(1, 1, 0): mask})
+    assert masked.relations[(1, 1)][0].num_edges == rel.num_edges // 2
+    assert masked.relations[(0, 0)][0].num_edges == g.relations[(0, 0)][0].num_edges
