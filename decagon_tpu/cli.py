@@ -1,0 +1,211 @@
+"""End-to-end training CLI.
+
+Capability spec: reference ``main/main.py:74-91`` — config → dataset →
+active learner → loop(get masked dataset → build trainable → train) —
+plus the recorded held-out-edge CSV and checkpoint/metrics plumbing.
+
+Usage::
+
+    python -m decagon_tpu.cli --config configuration.json
+    python -m decagon_tpu.cli --config conf.json --set NumEpochs=5
+
+Config keys follow the reference's ``configuration.json`` (DataSetType,
+ActiveLearnerType, hidden1/hidden2, dropout, batch_size, learning_rate,
+max_margin, NumEpochs, TestSetProportion, InitTrainSetProportion,
+CheckpointDirectory, TrainIterationResultDir, NumIterationsPerLog,
+NumIterationsPerCheckpoint, MaxCheckpointsToKeep, TestEdgeFilename,
+WriteNdarrays, NdarrayWriteDir, file paths for the public CSVs, …).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from decagon_tpu.config import Config
+from decagon_tpu.data.public import load_public_dataset
+from decagon_tpu.data.record import timestamped_path, write_heldout_edges_csv
+from decagon_tpu.graph.container import RelationGraph
+from decagon_tpu.graph.device import build_device_graph
+from decagon_tpu.graph.split import split_graph
+from decagon_tpu.graph.synthetic import make_synthetic_graph
+from decagon_tpu.models.model import DecagonModel
+from decagon_tpu.train.active import (
+    GreedyActiveLearner,
+    NoopActiveLearner,
+    RandomMaskingActiveLearner,
+    RelationFullMaskingLearner,
+)
+from decagon_tpu.train.checkpoint import Checkpointer
+from decagon_tpu.train.evaluate import AccuracyEvaluator
+from decagon_tpu.train.logger import MetricsLogger
+from decagon_tpu.train.trainer import Trainer
+
+
+def build_dataset(config: Config):
+    """Returns (graph_without_transposes, protein_ids, drug_ids, names)."""
+    dataset_type = config.get("DataSetType", "DecagonDummyData")
+    if dataset_type == "DecagonPublicData":
+        ds = load_public_dataset(
+            combo_path=config.get("DecagonDrugDrugRelationsFilename"),
+            ppi_path=config.get("DecagonProteinProteinRelationsFilename"),
+            targets_path=config.get("DecagonDrugProteinRelationsFilename"),
+            mono_path=(
+                config.get("DecagonNodeFeaturesFilename", None)
+                if config.get("UseMonoFeatures", True)
+                else None
+            ),
+            min_edges_per_relation=int(config.get("MinEdgesPerRelation", 500)),
+            drug_decoder=config.get("DrugDrugEdgeDecoder", "dedicom"),
+            other_decoder=config.get("PPIEdgeDecoder", "bilinear"),
+            with_transposes=False,
+        )
+        return ds.graph, ds.protein_ids, ds.drug_ids, ds.relation_names
+    if dataset_type == "DecagonDummyData":
+        graph = make_synthetic_graph(
+            n_genes=int(config.get("NumProteins", 500)),
+            n_drugs=int(config.get("NumDrugs", 400)),
+            n_drugdrug_types=int(config.get("NumDrugDrugRelationTypes", 3)),
+            seed=int(config.get("Seed", 0)),
+            with_transposes=False,
+            drug_decoder=config.get("DrugDrugEdgeDecoder", "dedicom"),
+            other_decoder=config.get("PPIEdgeDecoder", "bilinear"),
+        )
+        names = [r.name for r in graph.relations[(1, 1)]]
+        return (
+            graph,
+            list(range(graph.num_nodes[0])),
+            list(range(graph.num_nodes[1])),
+            names,
+        )
+    raise ValueError(f"unknown DataSetType: {dataset_type}")
+
+
+def build_active_learner(config: Config, graph: RelationGraph):
+    kind = config.get("ActiveLearnerType", "NoopActiveLearner")
+    seed = int(config.get("Seed", 0))
+    if kind == "NoopActiveLearner":
+        return NoopActiveLearner(graph)
+    kwargs = dict(
+        graph=graph,
+        test_set_proportion=float(config.get("TestSetProportion", 0.8)),
+        init_train_proportion=float(config.get("InitTrainSetProportion", 1.0)),
+        seed=seed,
+    )
+    if kind == "RandomMaskingActiveLearner":
+        return RandomMaskingActiveLearner(**kwargs)
+    if kind == "RelationFullMaskingLearner":
+        return RelationFullMaskingLearner(
+            invalid_relations=set(config.get("InvalidRelationIds", [])),
+            **kwargs,
+        )
+    if kind == "GreedyActiveLearner":
+        return GreedyActiveLearner(**kwargs)
+    raise ValueError(f"unknown ActiveLearnerType: {kind}")
+
+
+def train_once(
+    config: Config,
+    graph: RelationGraph,
+    holdout,
+    dataset_id: str,
+    protein_ids,
+    drug_ids,
+    relation_names,
+    learner=None,
+) -> Trainer:
+    model_cfg = config.model_config()
+    train_cfg = config.train_config()
+    seed = int(config.get("Seed", 0))
+
+    full = (
+        graph.with_transposes()
+        if bool(config.get("TrainWithTransposedAdjacencyMatrices", True))
+        else graph
+    )
+    splits = split_graph(
+        full,
+        val_frac=float(config.get("ValFraction", 0.05)),
+        test_frac=float(config.get("TestFraction", 0.0)),
+        seed=seed,
+        precomputed_holdout=holdout or None,
+    )
+    if config.has("TestEdgeFilename"):
+        path = write_heldout_edges_csv(
+            full, splits, timestamped_path(config.get("TestEdgeFilename")),
+            protein_ids=protein_ids, drug_ids=drug_ids,
+            relation_names=relation_names,
+        )
+        print(f"recorded held-out edges -> {path}")
+
+    device_graph = build_device_graph(
+        full, splits,
+        tile_for_pallas=model_cfg.spmm_impl.startswith("pallas"),
+    )
+    model = DecagonModel(model_cfg, device_graph)
+
+    checkpointer = None
+    if bool(config.get("ShouldCheckpoint", False)):
+        checkpointer = Checkpointer(
+            config.get("CheckpointDirectory", "ckpts"),
+            max_to_keep=int(config.get("MaxCheckpointsToKeep", 3)),
+            every_n_iterations=int(config.get("NumIterationsPerCheckpoint", 1)),
+        )
+
+    evaluator = AccuracyEvaluator(
+        model, full, splits, apk_k=int(config.get("ApkRank", 50))
+    )
+    logger = MetricsLogger(
+        evaluator,
+        result_dir=config.get("TrainIterationResultDir", "results"),
+        dataset_id=dataset_id,
+        every_n_iterations=int(config.get("NumIterationsPerLog", 1)),
+        checkpointer=checkpointer,
+        ndarray_dir=(
+            config.get("NdarrayWriteDir", "ndarray-dump")
+            if bool(config.get("WriteNdarrays", False))
+            else None
+        ),
+        relation_names=relation_names,
+    )
+
+    trainer = Trainer(
+        model, full, splits, device_graph, train_cfg, seed=seed,
+        iteration_hook=logger.on_iteration, epoch_hook=logger.on_epoch_end,
+    )
+    if learner is not None and hasattr(learner, "scorer"):
+        # Wire the greedy learner to the live model.
+        import jax.numpy as jnp
+
+        def scorer(k: int, edges: np.ndarray) -> np.ndarray:
+            return evaluator._probs(
+                trainer.params, device_graph, (1, 1, k), edges
+            )
+
+        learner.scorer = scorer
+    trainer.train()
+    logger.close()
+    return trainer
+
+
+def main(argv=None) -> None:
+    config = Config.from_argv(argv)
+    graph, protein_ids, drug_ids, relation_names = build_dataset(config)
+    learner = build_active_learner(config, graph)
+
+    outer_iter = 0
+    while learner.has_update():
+        masked_graph, holdout = learner.get_update()
+        dataset_id = f"{type(learner).__name__}-iter{outer_iter}"
+        print(f"=== active-learning iteration {outer_iter} ===")
+        train_once(
+            config, masked_graph, holdout, dataset_id,
+            protein_ids, drug_ids, relation_names, learner=learner,
+        )
+        outer_iter += 1
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ import numpy as np
 
 from decagon_tpu.graph.container import EdgeType, RelationGraph, RelationKey
 from decagon_tpu.graph.split import EdgeSplit
+from decagon_tpu.ops.tiling import TiledEdges, build_tiles
 
 
 def etkey(edge_type: EdgeType) -> str:
@@ -57,6 +58,10 @@ class EdgeTypeAdj:
     receivers: jax.Array  # int32 [E_pad]
     rel: jax.Array  # int32 [E_pad]
     vals: jax.Array  # float32 [E_pad]
+    # Optional 2D tilings for the Pallas SpMM kernel (forward scatter to
+    # [n_rows] and backward scatter to [K * n_cols]); None on the XLA path.
+    tiles_fwd: Optional[TiledEdges]
+    tiles_bwd: Optional[TiledEdges]
     num_rel: int = dataclasses.field(metadata=dict(static=True))
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
@@ -103,8 +108,13 @@ def build_device_graph(
     graph: RelationGraph,
     splits: Dict[RelationKey, EdgeSplit],
     edge_pad_multiple: int = 1024,
+    tile_for_pallas: bool = False,
+    tile_block: int = 256,
 ) -> DeviceGraph:
-    """Flatten normalized train adjacencies and sampling CDFs onto device."""
+    """Flatten normalized train adjacencies and sampling CDFs onto device.
+
+    With ``tile_for_pallas``, also build the 2D edge tilings consumed by
+    the Pallas SpMM kernel (one per aggregation direction)."""
     adj: Dict[str, EdgeTypeAdj] = {}
     neg_cdf: Dict[str, jax.Array] = {}
     degrees = graph.degrees()
@@ -132,11 +142,30 @@ def build_device_graph(
             rel = np.concatenate([rel, np.zeros(pad, np.int32)])
             vals = np.concatenate([vals, np.zeros(pad, np.float32)])
 
+        tiles_fwd = tiles_bwd = None
+        if tile_for_pallas:
+            n_rows_i = graph.num_nodes[i]
+            flat_src_space = len(rels) * graph.num_nodes[j]
+            flat_src = (
+                rel.astype(np.int64) * graph.num_nodes[j]
+                + senders.astype(np.int64)
+            )
+            tiles_fwd = build_tiles(
+                flat_src, receivers, vals, flat_src_space, n_rows_i,
+                block_r=tile_block, block_s=tile_block, tile_c=tile_block,
+            )
+            tiles_bwd = build_tiles(
+                receivers, flat_src, vals, n_rows_i, flat_src_space,
+                block_r=tile_block, block_s=tile_block, tile_c=tile_block,
+            )
+
         adj[etkey((i, j))] = EdgeTypeAdj(
             senders=jnp.asarray(senders, jnp.int32),
             receivers=jnp.asarray(receivers, jnp.int32),
             rel=jnp.asarray(rel, jnp.int32),
             vals=jnp.asarray(vals, jnp.float32),
+            tiles_fwd=tiles_fwd,
+            tiles_bwd=tiles_bwd,
             num_rel=len(rels),
             n_rows=graph.num_nodes[i],
             n_cols=graph.num_nodes[j],

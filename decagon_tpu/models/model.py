@@ -97,8 +97,16 @@ class DecagonModel:
         deterministic: bool = True,
     ) -> jax.Array:
         """Logit scores for B (row, col) pairs of relation ``k`` of
-        ``edge_type``.  Decoder-input dropout matches the reference's
-        per-call row/col masks (``layers.py:139-140`` etc.)."""
+        ``edge_type``.
+
+        Note: the reference's TRAINING path scores through
+        ``DecagonOptimizer.batch_predict`` (``optimizer.py:63-85``), which
+        applies NO dropout to the gathered embeddings — the decoder
+        layers' dropout (``layers.py:139-140``) is dead code there (their
+        ``_call`` is never invoked; only their variables feed
+        ``latent_inters``/``latent_varies``).  Decoder-input dropout is
+        therefore opt-in here (pass ``deterministic=False`` + ``rng``)
+        and NOT used by the stock train step."""
         name = graph.decoder_name(edge_type)
         z_rows = embeddings[str(edge_type[0])][rows]
         z_cols = embeddings[str(edge_type[1])][cols]

@@ -13,12 +13,13 @@ the hand-written Pallas kernel for the same contract, selected via
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import TYPE_CHECKING, Optional
 
 import jax
 import jax.numpy as jnp
 
-from decagon_tpu.graph.device import EdgeTypeAdj
+if TYPE_CHECKING:  # avoid a circular import with graph.device
+    from decagon_tpu.graph.device import EdgeTypeAdj
 
 
 def spmm_segment(
@@ -41,16 +42,16 @@ def spmm_segment(
     return jax.ops.segment_sum(msgs, receivers, num_segments=n_out)
 
 
-def spmm(p_stack: jax.Array, adj: EdgeTypeAdj, impl: str = "xla") -> jax.Array:
+def spmm(p_stack: jax.Array, adj: "EdgeTypeAdj", impl: str = "xla") -> jax.Array:
     """Aggregate ``sum_k A_k @ P_k`` for one edge type."""
     if impl == "xla":
         return spmm_segment(
             p_stack, adj.senders, adj.receivers, adj.rel, adj.vals, adj.n_rows
         )
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_interpret"):
         from decagon_tpu.ops.spmm_pallas import spmm_pallas
 
-        return spmm_pallas(p_stack, adj)
+        return spmm_pallas(p_stack, adj, interpret=impl == "pallas_interpret")
     raise ValueError(f"unknown spmm impl: {impl}")
 
 

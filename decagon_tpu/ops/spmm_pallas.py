@@ -1,0 +1,217 @@
+"""Pallas TPU SpMM kernel: tile-blocked one-hot matmul formulation.
+
+Replaces the XLA gather+segment-sum path for the multi-relational
+aggregation ``out[dst] += val * P_flat[src]`` (the hot op behind the two
+``tf.sparse_tensor_dense_matmul`` calls at reference
+``decagon/deep/layers.py:89-90,114``).
+
+Formulation: edges are pre-tiled on host (``decagon_tpu.ops.tiling``)
+into (dst-block x src-block) buckets of C edges.  Per tile the kernel
+
+  1. DMAs the tile's packed edge data and its source block of ``P_flat``
+     from HBM into double-buffered VMEM scratch,
+  2. builds a one-hot scatter of edge values against the source block by
+     lane-aligned iota comparison (``S x C``; no transposes),
+  3. computes ``msgs[C, H] = src_oh^T @ src_block`` on the MXU,
+  4. accumulates ``out_block[R, H] += dst_oh @ msgs`` on the MXU,
+
+so the whole sparse aggregation becomes dense systolic-array work —
+~2·H·(S+R) FLOPs per edge at full tile occupancy — with DMA overlapped
+via two-slot pipelining.  The backward pass is the same kernel run over a
+transposed tiling (cotangents scattered into the [K*N_src, H] space).
+
+The kernel is numerically exact (fp32 accumulation) and autodiff-
+complete via custom_vjp; ``decagon_tpu.ops.segment.spmm`` dispatches
+between this and the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from decagon_tpu.ops.tiling import TiledEdges
+
+
+def _spmm_kernel(
+    row_ptr_ref,  # SMEM [num_dst_blocks + 1] int32 (scalar prefetch)
+    src_block_ref,  # SMEM [T] int32 (scalar prefetch)
+    packed_hbm,  # HBM [T, 4, C] int32 (row 3 is alignment padding)
+    p_hbm,  # HBM [M_pad, H] float32
+    out_ref,  # VMEM [R, H] float32
+    tile_buf,  # VMEM [2, 4, C] int32 scratch
+    src_buf,  # VMEM [2, S, H] float32 scratch
+    tile_sem,  # DMA sems (2,)
+    src_sem,  # DMA sems (2,)
+    *,
+    block_s: int,
+    precision,
+):
+    b = pl.program_id(0)
+    t0 = row_ptr_ref[b]
+    t1 = row_ptr_ref[b + 1]
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    r = out_ref.shape[0]
+    s = src_buf.shape[1]
+    c = tile_buf.shape[2]
+
+    def tile_dma(slot, t):
+        return pltpu.make_async_copy(
+            packed_hbm.at[t], tile_buf.at[slot], tile_sem.at[slot]
+        )
+
+    def src_dma(slot, t):
+        sb = src_block_ref[t]
+        return pltpu.make_async_copy(
+            p_hbm.at[pl.ds(sb * block_s, s), :],
+            src_buf.at[slot],
+            src_sem.at[slot],
+        )
+
+    @pl.when(t1 > t0)
+    def _warmup():
+        tile_dma(0, t0).start()
+        src_dma(0, t0).start()
+
+    def body(i, _):
+        t = t0 + i
+        slot = jax.lax.rem(i, 2)
+        nslot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(t + 1 < t1)
+        def _prefetch():
+            tile_dma(nslot, t + 1).start()
+            src_dma(nslot, t + 1).start()
+
+        tile_dma(slot, t).wait()
+        src_dma(slot, t).wait()
+
+        src_local = tile_buf[slot, 0:1, :]  # [1, C] int32
+        dst_local = tile_buf[slot, 1:2, :]  # [1, C] int32
+        vals = pltpu.bitcast(tile_buf[slot, 2:3, :], jnp.float32)  # [1, C]
+
+        # One-hot gather matrix [S, C]: column c holds vals[c] at row
+        # src_local[c].  Lane-aligned broadcasts only (no relayouts).
+        iota_sc = jax.lax.broadcasted_iota(jnp.int32, (s, c), 0)
+        src_oh = jnp.where(iota_sc == src_local, vals, 0.0)
+        msgs = jax.lax.dot_general(
+            src_oh,
+            src_buf[slot],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )  # [C, H]
+
+        iota_rc = jax.lax.broadcasted_iota(jnp.int32, (r, c), 0)
+        dst_oh = jnp.where(iota_rc == dst_local, 1.0, 0.0)  # [R, C]
+        out_ref[:] += jnp.dot(
+            dst_oh, msgs, preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, t1 - t0, body, 0)
+
+
+def spmm_tiled(
+    p_flat: jax.Array,
+    tiles: TiledEdges,
+    interpret: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """``out[n_dst_pad, H] = scatter-add of tiled edges over p_flat``.
+
+    ``p_flat`` rows are zero-padded to ``tiles.n_src`` here; the returned
+    array has ``tiles.n_dst`` (padded) rows — slice to taste.
+    """
+    m, h_in = p_flat.shape
+    # HBM->VMEM DMA slices need lane alignment: pad the feature dim to a
+    # multiple of 128 (sliced back off by the caller via [:, :H]).
+    h = ((h_in + 127) // 128) * 128
+    pad_rows = max(0, tiles.n_src - m)
+    if pad_rows or h != h_in:
+        p_flat = jnp.pad(p_flat, ((0, pad_rows), (0, h - h_in)))
+    c = tiles.tile_c
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tiles.num_dst_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tiles.block_r, h),
+            lambda b, *_: (b, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, c), jnp.int32),
+            pltpu.VMEM((2, tiles.block_s, h), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    flops = 2 * tiles.num_tiles * c * h * (tiles.block_s + tiles.block_r)
+    return pl.pallas_call(
+        functools.partial(
+            _spmm_kernel, block_s=tiles.block_s, precision=precision
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tiles.n_dst, h), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=tiles.num_tiles * (tiles.block_s * h * 4 + 16 * c)
+            + tiles.n_dst * h * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tiles.row_ptr, tiles.src_block, tiles.packed, p_flat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _spmm_pallas_op(
+    p_stack: jax.Array,
+    tiles_fwd: TiledEdges,
+    tiles_bwd: TiledEdges,
+    n_rows: int,
+    interpret: bool,
+) -> jax.Array:
+    k, n, h = p_stack.shape
+    out = spmm_tiled(p_stack.reshape(k * n, h), tiles_fwd, interpret)
+    return out[:n_rows, :h]
+
+
+def _fwd(p_stack, tiles_fwd, tiles_bwd, n_rows, interpret):
+    out = _spmm_pallas_op(p_stack, tiles_fwd, tiles_bwd, n_rows, interpret)
+    return out, (tiles_bwd, p_stack.shape)
+
+
+def _bwd(n_rows, interpret, residuals, ct):
+    tiles_bwd, (k, n, h) = residuals
+    d_flat = spmm_tiled(ct, tiles_bwd, interpret)  # [K*N padded, Hpad]
+    d_p = d_flat[: k * n, :h].reshape(k, n, h)
+    # Cotangents for the (integer) tile structures are structural zeros.
+    return (d_p, None, None)
+
+
+_spmm_pallas_op.defvjp(_fwd, _bwd)
+
+
+def spmm_pallas(p_stack: jax.Array, adj, interpret: bool = False) -> jax.Array:
+    """SpMM via the tiled Pallas kernel; ``adj`` must carry tilings
+    (``EdgeTypeAdj.tiles_fwd`` / ``tiles_bwd`` from
+    ``build_device_graph(..., tile_for_pallas=True)``)."""
+    if adj.tiles_fwd is None or adj.tiles_bwd is None:
+        raise ValueError(
+            "adjacency has no tilings; build the device graph with "
+            "tile_for_pallas=True to use the Pallas SpMM"
+        )
+    return _spmm_pallas_op(
+        p_stack, adj.tiles_fwd, adj.tiles_bwd, adj.n_rows, interpret
+    )

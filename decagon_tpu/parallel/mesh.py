@@ -38,6 +38,10 @@ def graph_pspecs(graph: DeviceGraph, axis: str = "edge") -> DeviceGraph:
             receivers=P(axis),
             rel=P(axis),
             vals=P(axis),
+            # Pallas tilings are single-device structures; the sharded
+            # path uses the XLA SpMM over per-device edge slices.
+            tiles_fwd=None,
+            tiles_bwd=None,
             num_rel=a.num_rel,
             n_rows=a.n_rows,
             n_cols=a.n_cols,
@@ -86,6 +90,8 @@ def shard_device_graph(
             receivers=jax.device_put(pad_to(a.receivers, e_pad), sharding),
             rel=jax.device_put(pad_to(a.rel, e_pad), sharding),
             vals=jax.device_put(pad_to(a.vals, e_pad), sharding),
+            tiles_fwd=None,
+            tiles_bwd=None,
             num_rel=a.num_rel,
             n_rows=a.n_rows,
             n_cols=a.n_cols,

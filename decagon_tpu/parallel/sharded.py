@@ -52,17 +52,18 @@ def make_sharded_train_step(
     g_specs = graph_pspecs(graph_template, axis)
 
     def local_loss(params, graph: DeviceGraph, k, rows, cols, rng):
-        enc_rng, pos_rng, neg_rng, sample_rng = jax.random.split(rng, 4)
+        enc_rng, sample_rng = jax.random.split(rng)
         shard = jax.lax.axis_index(axis)
         # Encoder dropout masks are shared across devices (same rng):
         # every device sees identical projected features, so the psum'd
         # aggregation equals the single-chip forward draw-for-draw.
+        # Scoring is deterministic given embeddings (reference parity —
+        # optimizer.py:63-85 applies no decoder-input dropout).
         embeddings = model.embeddings(
             params, graph, enc_rng, deterministic=False, axis_name=axis
         )
         pos = model.score_edges(
-            params, graph, embeddings, edge_type, k, rows, cols,
-            rng=jax.random.fold_in(pos_rng, shard), deterministic=False,
+            params, graph, embeddings, edge_type, k, rows, cols
         )
         neg_rows = sample_unigram(
             jax.random.fold_in(sample_rng, shard),
@@ -70,8 +71,7 @@ def make_sharded_train_step(
             local_batch,
         )
         neg = model.score_edges(
-            params, graph, embeddings, edge_type, k, neg_rows, cols,
-            rng=jax.random.fold_in(neg_rng, shard), deterministic=False,
+            params, graph, embeddings, edge_type, k, neg_rows, cols
         )
         if loss_name == "hinge":
             return LOSSES["hinge"](pos, neg, cfg.margin)

@@ -1,0 +1,202 @@
+"""Active-learning curricula over drug-drug relation masks.
+
+Parity spec: reference ``main/ActiveLearner/*``:
+
+* ``RandomMaskingActiveLearner`` (``RandomMaskingActiveLearner.py``):
+  cell-level 0/1 masks per drug-drug relation; a test holdout is
+  reserved up front (``testSetProportion`` of positives + an equal
+  number of sampled negative cells per relation, ``:46-114``); the
+  initial mask unmasks ``InitTrainSetProportion`` of remaining cells;
+  every outer iteration unmasks up to a cumulative ``2^t`` percent of
+  cells (``hasUpdate: 2^iters < 100``, ``:148-149``) and emits a masked
+  copy of the graph (``:151-200``).  Held-out cells become the
+  precomputed val edges of the edge splitter
+  (``minibatch.py:235-253``).
+* ``NoopActiveLearner``: single pass over the full data.
+* ``RelationFullMaskingLearner``: RandomMasking minus configured
+  relations (excluded from the curriculum entirely).
+* ``GreedyActiveLearner`` (``GreedyActiveLearner.py:66-96``): unmask the
+  cells the CURRENT model scores highest instead of random ones
+  (scorer injected; first iteration falls back to random).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from decagon_tpu.graph.container import RelationGraph, RelationKey
+
+Holdout = Dict[int, Dict[str, np.ndarray]]
+
+
+class NoopActiveLearner:
+    """Train once on the full dataset (reference NoopActiveLearner.py:15-29)."""
+
+    def __init__(self, graph: RelationGraph):
+        self.graph = graph
+        self.num_iters = 0
+
+    def has_update(self) -> bool:
+        return self.num_iters == 0
+
+    def get_update(self) -> Tuple[RelationGraph, Holdout]:
+        self.num_iters += 1
+        return self.graph, {}
+
+
+class RandomMaskingActiveLearner:
+    """Exponentially-growing random unmasking curriculum.
+
+    Operates on the pre-transpose graph (as the reference's learner sees
+    the DataSet before transpose augmentation); apply
+    ``with_transposes()`` downstream of ``get_update``.
+    """
+
+    def __init__(
+        self,
+        graph: RelationGraph,
+        test_set_proportion: float = 0.8,
+        init_train_proportion: float = 1.0,
+        seed: int = 0,
+        drug_drug: Tuple[int, int] = (1, 1),
+        invalid_relations: Iterable[int] = (),
+    ):
+        self.graph = graph
+        self.drug_drug = drug_drug
+        self.num_iters = 0
+        self.rng = np.random.default_rng(seed)
+        self.invalid = set(invalid_relations)
+
+        relations = graph.relations[drug_drug]
+        self.masks: Dict[int, np.ndarray] = {}
+        self.holdout: Holdout = {}
+        possibilities: List[np.ndarray] = []
+
+        for k, rel in enumerate(relations):
+            n_rows, n_cols = rel.shape
+            cells = n_rows * n_cols
+            self.masks[k] = np.zeros(cells, dtype=bool)
+            if k in self.invalid:
+                continue
+            pos_linear = rel.rows.astype(np.int64) * n_cols + rel.cols
+            num_test = (
+                max(1, int(len(pos_linear) * test_set_proportion))
+                if len(pos_linear)
+                else 0
+            )
+            pos_test = self.rng.choice(pos_linear, size=num_test, replace=False)
+            all_linear = np.arange(cells, dtype=np.int64)
+            neg_candidates = np.setdiff1d(all_linear, pos_linear)
+            neg_test = self.rng.choice(neg_candidates, size=num_test, replace=False)
+            self.holdout[k] = {
+                "positive": np.stack(
+                    np.unravel_index(pos_test, rel.shape), axis=1
+                ).astype(np.int32),
+                "negative": np.stack(
+                    np.unravel_index(neg_test, rel.shape), axis=1
+                ).astype(np.int32),
+            }
+            remaining = np.setdiff1d(
+                all_linear, np.concatenate([pos_test, neg_test])
+            )
+            rel_col = np.full((len(remaining), 1), k, dtype=np.int64)
+            possibilities.append(
+                np.hstack([rel_col, remaining[:, None]])
+            )
+
+        self.possibilities = (
+            np.vstack(possibilities)
+            if possibilities
+            else np.empty((0, 2), dtype=np.int64)
+        )
+        self._unmask_random(
+            int(np.floor(len(self.possibilities) * init_train_proportion))
+        )
+        # Curriculum percentages are of the post-init pool (reference
+        # RandomMaskingActiveLearner.py:28-32 sets dataSetSize after
+        # _reducePossibilitiesForInit).
+        self.dataset_size = len(self.possibilities)
+
+    # ---- protocol --------------------------------------------------------
+
+    def has_update(self) -> bool:
+        return 2 ** self.num_iters < 100
+
+    def get_update(self) -> Tuple[RelationGraph, Holdout]:
+        self._update_mask()
+        self.num_iters += 1
+        return self._masked_graph(), self.holdout
+
+    # ---- internals ---------------------------------------------------------
+
+    def _update_mask(self) -> None:
+        last = 2 ** (self.num_iters - 1) if self.num_iters > 0 else 0
+        this = min(2 ** self.num_iters, 100)
+        count = int(np.floor(self.dataset_size * (this - last) / 100))
+        self._unmask(self._select_indices(min(count, len(self.possibilities))))
+
+    def _select_indices(self, count: int) -> np.ndarray:
+        return self.rng.choice(
+            len(self.possibilities), size=count, replace=False
+        )
+
+    def _unmask_random(self, count: int) -> None:
+        self._unmask(self._random_indices(count))
+
+    def _random_indices(self, count: int) -> np.ndarray:
+        return self.rng.choice(
+            len(self.possibilities),
+            size=min(count, len(self.possibilities)),
+            replace=False,
+        )
+
+    def _unmask(self, idxs: np.ndarray) -> None:
+        chosen = self.possibilities[idxs]
+        for k in np.unique(chosen[:, 0]):
+            cells = chosen[chosen[:, 0] == k, 1]
+            self.masks[int(k)][cells] = True
+        self.possibilities = np.delete(self.possibilities, idxs, axis=0)
+
+    def _masked_graph(self) -> RelationGraph:
+        masks: Dict[RelationKey, np.ndarray] = {}
+        i, j = self.drug_drug
+        for k, rel in enumerate(self.graph.relations[self.drug_drug]):
+            linear = rel.rows.astype(np.int64) * rel.shape[1] + rel.cols
+            masks[(i, j, k)] = self.masks[k][linear]
+        return self.graph.masked(masks)
+
+
+class RelationFullMaskingLearner(RandomMaskingActiveLearner):
+    """RandomMasking that excludes configured relations entirely
+    (reference ``RelationFullMaskingLearner.py:10-18``)."""
+
+
+class GreedyActiveLearner(RandomMaskingActiveLearner):
+    """Unmask the highest-scoring still-masked cells.
+
+    ``scorer(relation_k, edges[M, 2]) -> scores[M]`` is injected (wired
+    to the current model's edge scorer by the training loop); the first
+    iteration has no model yet and falls back to random selection
+    (reference ``GreedyActiveLearner.py:66-78``).
+    """
+
+    def __init__(self, *args, scorer: Optional[Callable] = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.scorer = scorer
+
+    def _select_indices(self, count: int) -> np.ndarray:
+        if self.scorer is None or self.num_iters == 0:
+            return self._random_indices(count)
+        scores = np.empty(len(self.possibilities), dtype=np.float64)
+        n_cols = self.graph.relations[self.drug_drug][0].shape[1]
+        for k in np.unique(self.possibilities[:, 0]):
+            sel = self.possibilities[:, 0] == k
+            cells = self.possibilities[sel, 1]
+            edges = np.stack(
+                [cells // n_cols, cells % n_cols], axis=1
+            ).astype(np.int32)
+            scores[sel] = np.asarray(self.scorer(int(k), edges))
+        return np.argsort(-scores, kind="stable")[:count]

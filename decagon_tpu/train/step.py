@@ -64,20 +64,21 @@ def make_train_step(
     row_type = str(edge_type[0])
 
     def loss_fn(params, graph: DeviceGraph, k, rows, cols, rng):
-        enc_rng, pos_rng, neg_rng, sample_rng = jax.random.split(rng, 4)
+        enc_rng, sample_rng = jax.random.split(rng)
         embeddings = model.embeddings(
             params, graph, enc_rng, deterministic=False
         )
+        # Scoring is deterministic given the embeddings: the reference
+        # train path applies dropout only inside the encoder
+        # (optimizer.py:63-85 has no dropout).
         pos = model.score_edges(
-            params, graph, embeddings, edge_type, k, rows, cols,
-            rng=pos_rng, deterministic=False,
+            params, graph, embeddings, edge_type, k, rows, cols
         )
         neg_rows = sample_unigram(
             sample_rng, graph.neg_cdf[et_key][k], cfg.batch_size
         )
         neg = model.score_edges(
-            params, graph, embeddings, edge_type, k, neg_rows, cols,
-            rng=neg_rng, deterministic=False,
+            params, graph, embeddings, edge_type, k, neg_rows, cols
         )
         if loss_name == "hinge":
             return LOSSES["hinge"](pos, neg, cfg.margin)

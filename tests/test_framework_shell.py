@@ -1,0 +1,261 @@
+"""Framework shell tests: config, logging, checkpointing, export,
+predictor round-trip, active learners, public CSV parsing, CLI."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from decagon_tpu.config import Config
+from decagon_tpu.data.public import load_public_dataset
+from decagon_tpu.data.record import write_heldout_edges_csv
+from decagon_tpu.graph.device import build_device_graph
+from decagon_tpu.graph.split import split_graph
+from decagon_tpu.graph.synthetic import make_synthetic_graph
+from decagon_tpu.models.model import DecagonModel, ModelConfig
+from decagon_tpu.predict.predictor import NpPredictor, PredictionsInfo
+from decagon_tpu.train.active import (
+    NoopActiveLearner,
+    RandomMaskingActiveLearner,
+)
+from decagon_tpu.train.checkpoint import Checkpointer, export_ndarrays
+from decagon_tpu.train.evaluate import AccuracyEvaluator
+from decagon_tpu.train.logger import MetricsLogger
+from decagon_tpu.train.step import TrainConfig
+from decagon_tpu.train.trainer import Trainer
+
+
+def test_config_overrides(tmp_path):
+    path = tmp_path / "conf.json"
+    path.write_text(json.dumps({"hidden1": 16, "NumEpochs": 3}))
+    cfg = Config.from_json(str(path), overrides={"NumEpochs": 7})
+    assert cfg.get("hidden1") == 16
+    assert cfg.get("NumEpochs") == 7
+    assert cfg.get("missing", "fallback") == "fallback"
+    with pytest.raises(KeyError):
+        cfg.get("missing")
+    assert cfg.model_config().hidden1 == 16
+    assert cfg.train_config().num_epochs == 7
+
+
+def test_config_from_argv(tmp_path):
+    path = tmp_path / "conf.json"
+    path.write_text(json.dumps({"batch_size": 64}))
+    cfg = Config.from_argv(
+        ["--config", str(path), "--set", "learning_rate=0.01",
+         "--set", "CustomName=foo"]
+    )
+    assert cfg.get("learning_rate") == 0.01
+    assert cfg.get("CustomName") == "foo"
+    assert cfg.train_config().batch_size == 64
+
+
+@pytest.fixture(scope="module")
+def trained():
+    graph = make_synthetic_graph(n_genes=80, n_drugs=40, n_drugdrug_types=2, seed=0)
+    splits = split_graph(graph, val_frac=0.15, test_frac=0.1, seed=1)
+    dg = build_device_graph(graph, splits, edge_pad_multiple=256)
+    model = DecagonModel(ModelConfig(hidden1=16, hidden2=8), dg)
+    trainer = Trainer(model, graph, splits, dg, TrainConfig(batch_size=32), seed=0)
+    for batch in trainer.scheduler.epoch():
+        trainer.train_batch(batch)
+    return graph, splits, dg, model, trainer
+
+
+def test_metrics_logger_csv(tmp_path, trained):
+    graph, splits, dg, model, trainer = trained
+    evaluator = AccuracyEvaluator(model, graph, splits)
+    logger = MetricsLogger(
+        evaluator, str(tmp_path), dataset_id="test",
+        every_n_iterations=2, quiet=True,
+    )
+    from decagon_tpu.train.trainer import IterationResult
+    for i in range(4):
+        logger.on_iteration(
+            trainer,
+            IterationResult(epoch=0, iteration=i, loss=1.0, latency=0.01,
+                            edge_type=(1, 1, 0)),
+        )
+    logger.on_epoch_end(trainer, 0)
+    logger.close()
+    lines = open(logger.path).read().strip().splitlines()
+    header = lines[0].split(",")
+    assert header == ["DataSetId", "Epoch", "IterationNum", "Loss",
+                      "Latency", "EvaluateAll", "EdgeType", "AUROC",
+                      "AUPRC", "APK"]
+    # 2 gated rows + 1 epoch-end row
+    assert len(lines) == 4
+    assert "True" in lines[-1]  # EvaluateAll row
+
+    # Rotation: a second logger gets a new index
+    logger2 = MetricsLogger(evaluator, str(tmp_path), quiet=True)
+    assert logger2.path != logger.path
+    logger2.close()
+
+
+def test_checkpoint_roundtrip(tmp_path, trained):
+    graph, splits, dg, model, trainer = trained
+    ckpt = Checkpointer(str(tmp_path / "ckpt"), max_to_keep=2,
+                        every_n_iterations=1)
+    state = {"params": trainer.params, "step": 7}
+    ckpt.save(7, state)
+    ckpt.wait()
+    restored = ckpt.restore_latest(template=state)
+    assert restored["step"] == 7
+    before = jax.tree_util.tree_leaves(trainer.params)
+    after = jax.tree_util.tree_leaves(restored["params"])
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_and_np_predictor_roundtrip(tmp_path, trained):
+    graph, splits, dg, model, trainer = trained
+    emb = model.embeddings(trainer.params, dg, deterministic=True)
+    names = ["C0000001", "C0000002", "C0000003", "C0000004"]
+    export_ndarrays(trainer.params, emb, dg, str(tmp_path / "nd"),
+                    relation_names=names)
+    assert (tmp_path / "nd" / "embeddings.npy").exists()
+    assert (tmp_path / "nd" / "GlobalRelations.npy").exists()
+
+    csv_path = write_heldout_edges_csv(
+        graph, splits, str(tmp_path / "edges.csv"),
+        relation_names=names,
+    )
+    drug_ids = list(range(graph.num_nodes[1]))
+    info = PredictionsInfo(str(tmp_path / "nd"), csv_path, drug_ids)
+    predictor = NpPredictor(info, "C0000001")
+    result = predictor.predict()
+    assert 0.0 <= result.auroc <= 1.0
+    assert result.confusion_matrix.shape == (2, 2)
+    # The predictor must agree with the in-framework evaluator.
+    evaluator = AccuracyEvaluator(model, graph, splits)
+    scores = evaluator.evaluate(trainer.params, dg, (1, 1, 0))
+    assert result.auroc == pytest.approx(scores.auroc, abs=1e-6)
+
+
+def test_random_masking_active_learner():
+    graph = make_synthetic_graph(
+        n_genes=60, n_drugs=30, n_drugdrug_types=2, seed=0,
+        with_transposes=False,
+    )
+    learner = RandomMaskingActiveLearner(
+        graph, test_set_proportion=0.3, init_train_proportion=0.5, seed=0
+    )
+    assert learner.has_update()
+    sizes = []
+    iters = 0
+    while learner.has_update():
+        masked, holdout = learner.get_update()
+        total = sum(r.num_edges for r in masked.relations[(1, 1)])
+        sizes.append(total)
+        iters += 1
+        for k, hold in holdout.items():
+            orig = graph.relations[(1, 1)][k]
+            pos = {(r, c) for r, c in orig.edges}
+            assert all((r, c) in pos for r, c in hold["positive"])
+            assert all((r, c) not in pos for r, c in hold["negative"])
+    assert iters == 7  # 2^7 = 128 >= 100 stops the curriculum
+    assert sizes == sorted(sizes)  # monotone unmasking
+    # Other edge types untouched
+    assert masked.relations[(0, 0)][0].num_edges == \
+        graph.relations[(0, 0)][0].num_edges
+
+
+def test_noop_active_learner():
+    graph = make_synthetic_graph(n_genes=50, n_drugs=20, seed=0,
+                                 with_transposes=False)
+    learner = NoopActiveLearner(graph)
+    assert learner.has_update()
+    out, holdout = learner.get_update()
+    assert out is graph and holdout == {}
+    assert not learner.has_update()
+
+
+def _write_public_csvs(tmp_path):
+    rng = np.random.default_rng(0)
+    drugs = [f"CID{d:09d}" for d in range(1, 21)]
+    proteins = [str(p) for p in range(1000, 1030)]
+    combo = ["STITCH 1,STITCH 2,Polypharmacy Side Effect,Side Effect Name"]
+    for rel, count in [("C0000001", 30), ("C0000002", 25), ("C0000003", 3)]:
+        seen = set()
+        while len(seen) < count:
+            a, b = rng.choice(20, 2, replace=False)
+            seen.add((min(a, b), max(a, b)))
+        combo += [f"{drugs[a]},{drugs[b]},{rel},fake" for a, b in seen]
+    ppi = ["Gene 1,Gene 2"] + [
+        f"{proteins[a]},{proteins[b]}"
+        for a, b in {(min(a, b), max(a, b))
+                     for a, b in rng.choice(30, (60, 2)) if a != b}
+    ]
+    targets = ["STITCH,Gene"] + [
+        f"{drugs[rng.integers(20)]},{proteins[rng.integers(30)]}"
+        for _ in range(40)
+    ]
+    mono = ["STITCH,Individual Side Effect,Side Effect Name"] + [
+        f"{drugs[rng.integers(20)]},C005{rng.integers(10):04d},fake"
+        for _ in range(50)
+    ]
+    paths = {}
+    for name, rows in [("combo", combo), ("ppi", ppi),
+                       ("targets", targets), ("mono", mono)]:
+        p = tmp_path / f"{name}.csv"
+        p.write_text("\n".join(rows) + "\n")
+        paths[name] = str(p)
+    return paths
+
+
+def test_public_data_parsing(tmp_path):
+    paths = _write_public_csvs(tmp_path)
+    ds = load_public_dataset(
+        paths["combo"], paths["ppi"], paths["targets"], paths["mono"],
+        min_edges_per_relation=20, with_transposes=True,
+    )
+    graph = ds.graph
+    # The 3-edge relation is filtered out by the >=20 filter.
+    assert ds.relation_names == ["C0000001", "C0000002"]
+    ets = graph.edge_types
+    assert ets[(1, 1)] == 4  # 2 relations + transposes
+    assert ets[(0, 1)] == 1 and ets[(1, 0)] == 1
+    # protein-major targets matrix
+    assert graph.relations[(0, 1)][0].shape == (
+        graph.num_nodes[0], graph.num_nodes[1]
+    )
+    # drug-drug adjacency symmetric
+    rel = graph.relations[(1, 1)][0]
+    pairs = {(r, c) for r, c in rel.edges}
+    assert all((c, r) in pairs for r, c in pairs)
+    # mono features dense binary
+    feats = graph.features[1]
+    assert feats.kind == "dense"
+    assert set(np.unique(feats.dense)) <= {0.0, 1.0}
+    # node IDs sorted
+    assert ds.drug_ids == sorted(ds.drug_ids)
+    assert ds.protein_ids == sorted(ds.protein_ids)
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    from decagon_tpu import cli
+
+    conf = {
+        "DataSetType": "DecagonDummyData",
+        "ActiveLearnerType": "NoopActiveLearner",
+        "NumProteins": 60,
+        "NumDrugs": 30,
+        "NumDrugDrugRelationTypes": 1,
+        "hidden1": 8,
+        "hidden2": 4,
+        "batch_size": 16,
+        "NumEpochs": 1,
+        "NumIterationsPerLog": 50,
+        "TrainIterationResultDir": str(tmp_path / "results"),
+        "ShouldCheckpoint": False,
+        "ValFraction": 0.1,
+        "TestFraction": 0.05,
+    }
+    path = tmp_path / "conf.json"
+    path.write_text(json.dumps(conf))
+    cli.main(["--config", str(path)])
+    results = os.listdir(tmp_path / "results")
+    assert any(f.startswith("decagon_iteration_results") for f in results)
