@@ -24,8 +24,7 @@ from __future__ import annotations
 
 import csv
 import dataclasses
-from collections import defaultdict
-from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
+from typing import Iterable, List, Optional, Set
 
 import numpy as np
 
@@ -34,7 +33,7 @@ from decagon_tpu.graph.container import (
     Relation,
     RelationGraph,
 )
-from decagon_tpu.graph.ids import DrugId, ProteinId, SideEffectId
+from decagon_tpu.graph.ids import SideEffectId
 
 # Per-side-effect dataset variants from the reference
 # (NeutropeniaAdjMtxBuilder.py:5-11 etc.).
@@ -54,7 +53,52 @@ def _read_rows(path: str, min_cols: int) -> Iterable[List[str]]:
 
 
 def _is_header(row: List[str]) -> bool:
-    return not any(ch.isdigit() for ch in row[0])
+    # Data ID fields are letters+digits only ("CID000...", "9796");
+    # header fields contain spaces ("STITCH 1", "Gene 1").
+    field = row[0].strip()
+    return not (
+        any(ch.isdigit() for ch in field)
+        and all(ch.isalnum() for ch in field)
+    )
+
+
+def _parse_int_csv(path: str, n_fields: int) -> np.ndarray:
+    """Parse the first ``n_fields`` columns of a STITCH-style CSV into an
+    ``[N, n_fields]`` int64 array (digits-only codec — matches the
+    ``NodeIds`` parse: strip letters/leading zeros, e.g.
+    ``CID000000042 -> 42``, ``C0001234 -> 1234``).  Header rows and rows
+    with malformed/missing ID fields are skipped.
+
+    Uses the native C++ parser when available (the combo file runs to
+    millions of rows); the Python fallback applies the identical rules.
+    """
+    from decagon_tpu import native
+
+    arr = native.parse_edge_csv(path, n_fields)
+    if arr is not None:
+        return arr
+    out: List[List[int]] = []
+    for row in _read_rows(path, n_fields):
+        vals: List[int] = []
+        for raw in row[:n_fields]:
+            field = raw.strip()
+            if not (
+                any(ch.isdigit() for ch in field)
+                and all(ch.isalnum() for ch in field)
+            ):
+                break
+            vals.append(int("".join(ch for ch in field if ch.isdigit())))
+        else:
+            out.append(vals)
+    return np.asarray(out, np.int64).reshape(-1, n_fields)
+
+
+def _first_seen_unique(keys: np.ndarray) -> np.ndarray:
+    """Indices of the first occurrence of each distinct key, in original
+    (first-seen) order — the vectorized equivalent of a Python
+    seen-set/insertion-ordered-dict loop."""
+    _, first = np.unique(keys, return_index=True)
+    return np.sort(first)
 
 
 @dataclasses.dataclass
@@ -80,84 +124,71 @@ def load_public_dataset(
     with_transposes: bool = True,
 ) -> PublicDataset:
     # ---- raw parses -------------------------------------------------------
-    combo_edges: Dict[int, List[Tuple[int, int]]] = defaultdict(list)
-    combo_drugs: Set[int] = set()
-    for row in _read_rows(combo_path, 3):
-        if _is_header(row):
-            continue
-        a, b = int(DrugId(row[0])), int(DrugId(row[1]))
-        rel = int(SideEffectId(row[2]))
-        combo_edges[rel].append((a, b))
-        combo_drugs.add(a)
-        combo_drugs.add(b)
+    combo = _parse_int_csv(combo_path, 3)  # [N, (drug_a, drug_b, rel)]
+    ppi_raw = _parse_int_csv(ppi_path, 2)  # [N, (protein_a, protein_b)]
 
-    ppi_edges: List[Tuple[int, int]] = []
-    ppi_proteins: Set[int] = set()
-    for row in _read_rows(ppi_path, 2):
-        if _is_header(row):
-            continue
-        a, b = int(ProteinId(row[0])), int(ProteinId(row[1]))
-        ppi_edges.append((a, b))
-        ppi_proteins.add(a)
-        ppi_proteins.add(b)
-
-    target_edges: List[Tuple[int, int]] = []  # (drug, protein)
-    target_drugs: Set[int] = set()
-    target_proteins: Set[int] = set()
+    # Targets file: which column is the drug (CID prefix)?  The format is
+    # consistent per file, so peek at the first data row
+    # (the reference checks per-row at
+    # DecagonPublicDataNodeListsBuilder.py:37-77 — same outcome).
+    target_drug_col = 0
     for row in _read_rows(targets_path, 2):
         if _is_header(row):
             continue
-        drug_col = 0 if row[0].startswith("CID") else 1
-        drug = int(DrugId(row[drug_col]))
-        protein = int(ProteinId(row[1 - drug_col]))
-        target_edges.append((drug, protein))
-        target_drugs.add(drug)
-        target_proteins.add(protein)
+        target_drug_col = 0 if row[0].strip().startswith("CID") else 1
+        break
+    targets = _parse_int_csv(targets_path, 2)
+    target_drug = targets[:, target_drug_col]
+    target_protein = targets[:, 1 - target_drug_col]
 
     # ---- node orderings (sorted integer IDs) ------------------------------
-    drug_ids = sorted(combo_drugs | target_drugs)
-    protein_ids = sorted(ppi_proteins | target_proteins)
-    drug_idx = {d: i for i, d in enumerate(drug_ids)}
-    protein_idx = {p: i for i, p in enumerate(protein_ids)}
-    n_drugs, n_proteins = len(drug_ids), len(protein_ids)
+    drug_ids_arr = np.unique(
+        np.concatenate([combo[:, 0], combo[:, 1], target_drug])
+    )
+    protein_ids_arr = np.unique(
+        np.concatenate([ppi_raw[:, 0], ppi_raw[:, 1], target_protein])
+    )
+    n_drugs, n_proteins = len(drug_ids_arr), len(protein_ids_arr)
+    drug_ids = [int(d) for d in drug_ids_arr]
+    protein_ids = [int(p) for p in protein_ids_arr]
 
     # ---- relations ---------------------------------------------------------
     def symmetric_relation(
-        pairs: Sequence[Tuple[int, int]],
-        index: Dict[int, int],
-        n: int,
-        name: str,
+        ia: np.ndarray, ib: np.ndarray, n: int, name: str
     ) -> Relation:
-        rows, cols = [], []
-        seen = set()
-        for a, b in pairs:
-            ia, ib = index[a], index[b]
-            if ia == ib:
-                continue
-            key = (ia, ib) if ia < ib else (ib, ia)
-            if key in seen:
-                continue
-            seen.add(key)
-            rows.extend((key[0], key[1]))
-            cols.extend((key[1], key[0]))
-        return Relation(
-            rows=np.asarray(rows, np.int32),
-            cols=np.asarray(cols, np.int32),
-            shape=(n, n),
-            name=name,
-        )
+        """Symmetrized, deduped relation from undirected index pairs,
+        self-loops dropped, in first-seen edge order."""
+        lo = np.minimum(ia, ib)
+        hi = np.maximum(ia, ib)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        first = _first_seen_unique(lo.astype(np.int64) * n + hi)
+        lo, hi = lo[first], hi[first]
+        rows = np.empty(2 * len(lo), np.int32)
+        cols = np.empty(2 * len(lo), np.int32)
+        rows[0::2], rows[1::2] = lo, hi
+        cols[0::2], cols[1::2] = hi, lo
+        return Relation(rows=rows, cols=cols, shape=(n, n), name=name)
 
+    # Group combo edges by relation id (stable sort keeps first-seen
+    # edge order within each relation).
+    order = np.argsort(combo[:, 2], kind="stable")
+    rel_sorted = combo[order]
+    rel_ids, rel_starts = np.unique(rel_sorted[:, 2], return_index=True)
+    rel_bounds = np.append(rel_starts, len(rel_sorted))
     drug_relations: List[Relation] = []
-    for rel_id in sorted(combo_edges):
-        edges = combo_edges[rel_id]
+    for i, rel_id in enumerate(rel_ids):
+        edges = rel_sorted[rel_bounds[i]:rel_bounds[i + 1]]
         if len(edges) < min_edges_per_relation:
             continue
         if relation_allowlist is not None and rel_id not in relation_allowlist:
             continue
         drug_relations.append(
             symmetric_relation(
-                edges, drug_idx, n_drugs,
-                name=SideEffectId(rel_id).to_external(),
+                np.searchsorted(drug_ids_arr, edges[:, 0]),
+                np.searchsorted(drug_ids_arr, edges[:, 1]),
+                n_drugs,
+                name=SideEffectId(int(rel_id)).to_external(),
             )
         )
     if not drug_relations:
@@ -166,41 +197,33 @@ def load_public_dataset(
             f">={min_edges_per_relation}-edge filter"
         )
 
-    ppi = symmetric_relation(ppi_edges, protein_idx, n_proteins, name="ppi")
-
-    pd_rows = np.asarray(
-        [protein_idx[p] for _, p in target_edges], np.int32
+    ppi = symmetric_relation(
+        np.searchsorted(protein_ids_arr, ppi_raw[:, 0]),
+        np.searchsorted(protein_ids_arr, ppi_raw[:, 1]),
+        n_proteins,
+        name="ppi",
     )
-    pd_cols = np.asarray([drug_idx[d] for d, _ in target_edges], np.int32)
-    dedup = {}
-    for r, c in zip(pd_rows, pd_cols):
-        dedup[(int(r), int(c))] = None
-    pd_pairs = np.asarray(list(dedup.keys()), np.int32).reshape(-1, 2)
+
+    pd_rows = np.searchsorted(protein_ids_arr, target_protein)
+    pd_cols = np.searchsorted(drug_ids_arr, target_drug)
+    first = _first_seen_unique(pd_rows.astype(np.int64) * n_drugs + pd_cols)
     protein_drug = Relation(
-        rows=pd_pairs[:, 0],
-        cols=pd_pairs[:, 1],
+        rows=pd_rows[first].astype(np.int32),
+        cols=pd_cols[first].astype(np.int32),
         shape=(n_proteins, n_drugs),
         name="protein_drug",
     )
 
     # ---- features ----------------------------------------------------------
     if mono_path is not None:
-        mono: Dict[int, List[int]] = defaultdict(list)
-        side_effects: Set[int] = set()
-        for row in _read_rows(mono_path, 2):
-            if _is_header(row):
-                continue
-            drug = int(DrugId(row[0]))
-            se = int(SideEffectId(row[1]))
-            mono[drug].append(se)
-            side_effects.add(se)
-        se_idx = {se: i for i, se in enumerate(sorted(side_effects))}
-        feats = np.zeros((n_drugs, len(se_idx)), dtype=np.float32)
-        for drug, ses in mono.items():
-            if drug not in drug_idx:
-                continue
-            for se in ses:
-                feats[drug_idx[drug], se_idx[se]] = 1.0
+        mono = _parse_int_csv(mono_path, 2)  # [N, (drug, side_effect)]
+        se_ids = np.unique(mono[:, 1])
+        known = np.isin(mono[:, 0], drug_ids_arr)
+        feats = np.zeros((n_drugs, len(se_ids)), dtype=np.float32)
+        feats[
+            np.searchsorted(drug_ids_arr, mono[known, 0]),
+            np.searchsorted(se_ids, mono[known, 1]),
+        ] = 1.0
         drug_features = NodeFeatures.from_dense(feats)
     else:
         drug_features = NodeFeatures.identity(n_drugs)

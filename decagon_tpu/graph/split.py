@@ -67,7 +67,22 @@ def _sample_false_edges(
     forbidden: set,
     rng: np.random.Generator,
 ) -> np.ndarray:
-    """Rejection-sample ``count`` (row, col) pairs not in ``forbidden``."""
+    """Rejection-sample ``count`` (row, col) pairs not in ``forbidden``.
+
+    Uses the native sampler when available (hash-set rejection in C++;
+    the reference's equivalent was an O(E) scan per draw,
+    ``minibatch.py:95-99``), falling back to vectorized numpy.
+    """
+    from decagon_tpu import native
+
+    if count > 4096 and forbidden:
+        pos = np.asarray(sorted(forbidden), dtype=np.int64)
+        sampled = native.sample_false_edges(
+            pos[:, 0], pos[:, 1], shape, count,
+            seed=int(rng.integers(0, 2**62)),
+        )
+        if sampled is not None:
+            return sampled
     out = np.empty((count, 2), dtype=np.int32)
     seen = set()
     filled = 0

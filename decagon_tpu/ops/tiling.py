@@ -79,6 +79,26 @@ def build_tiles(
     n_dst_pad = _round_up(max(n_dst, 1), block_r)
     num_dst_blocks = n_dst_pad // block_r
 
+    # Native fast path (C++ sort + pack); identical output layout.
+    from decagon_tpu import native
+
+    native_result = native.build_tiles_arrays(
+        src, dst, vals, block_r, block_s, tile_c,
+        num_dst_blocks, n_src_pad // block_s,
+    )
+    if native_result is not None:
+        packed_arr, src_block_arr, row_ptr = native_result
+        return TiledEdges(
+            packed=jnp.asarray(packed_arr),
+            src_block=jnp.asarray(src_block_arr),
+            row_ptr=jnp.asarray(row_ptr),
+            n_dst=n_dst_pad,
+            n_src=n_src_pad,
+            block_r=block_r,
+            block_s=block_s,
+            tile_c=tile_c,
+        )
+
     db = dst // block_r
     sb = src // block_s
     order = np.lexsort((src, sb, db))

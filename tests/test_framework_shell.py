@@ -235,6 +235,40 @@ def test_public_data_parsing(tmp_path):
     assert ds.protein_ids == sorted(ds.protein_ids)
 
 
+def test_public_data_parsing_native_matches_python(tmp_path):
+    from decagon_tpu import native
+
+    paths = _write_public_csvs(tmp_path)
+    kwargs = dict(min_edges_per_relation=20, with_transposes=True)
+    got = load_public_dataset(
+        paths["combo"], paths["ppi"], paths["targets"], paths["mono"],
+        **kwargs,
+    )
+    import os
+    os.environ["DECAGON_TPU_DISABLE_NATIVE"] = "1"
+    native._TRIED, native._LIB = False, None
+    try:
+        want = load_public_dataset(
+            paths["combo"], paths["ppi"], paths["targets"], paths["mono"],
+            **kwargs,
+        )
+    finally:
+        del os.environ["DECAGON_TPU_DISABLE_NATIVE"]
+        native._TRIED, native._LIB = False, None
+
+    assert got.drug_ids == want.drug_ids
+    assert got.protein_ids == want.protein_ids
+    assert got.relation_names == want.relation_names
+    for et in want.graph.relations:
+        for a, b in zip(got.graph.relations[et], want.graph.relations[et]):
+            np.testing.assert_array_equal(a.rows, b.rows)
+            np.testing.assert_array_equal(a.cols, b.cols)
+            assert a.shape == b.shape and a.name == b.name
+    np.testing.assert_array_equal(
+        got.graph.features[1].dense, want.graph.features[1].dense
+    )
+
+
 def test_cli_end_to_end(tmp_path, capsys):
     from decagon_tpu import cli
 
