@@ -32,8 +32,9 @@ def main() -> None:
     from decagon_tpu.graph.split import split_graph
     from decagon_tpu.graph.synthetic import make_synthetic_graph
     from decagon_tpu.models.model import DecagonModel, ModelConfig
-    from decagon_tpu.train.sampler import MinibatchScheduler
-    from decagon_tpu.train.step import TrainConfig, make_train_steps
+    from decagon_tpu.train.step import TrainConfig
+
+    from decagon_tpu.train.trainer import Trainer
 
     graph = make_synthetic_graph(
         n_genes=500, n_drugs=400, n_drugdrug_types=3, seed=0
@@ -42,42 +43,29 @@ def main() -> None:
     device_graph = build_device_graph(graph, splits)
     model = DecagonModel(ModelConfig(hidden1=64, hidden2=32, dropout=0.1),
                          device_graph)
-    cfg = TrainConfig(batch_size=512, learning_rate=1e-3)
-    steps, optimizer = make_train_steps(model, device_graph, cfg)
-
-    params = model.init_params(jax.random.PRNGKey(0), device_graph)
-    opt_state = optimizer.init(params)
+    chunk = 50
+    cfg = TrainConfig(batch_size=512, learning_rate=1e-3, scan_chunk=chunk)
+    trainer = Trainer(model, graph, splits, device_graph, cfg, seed=0)
 
     # Total adjacency nnz actually aggregated per step (padding excluded).
     nnz = sum(
         int(jnp.count_nonzero(a.vals)) for a in device_graph.adj.values()
     )
 
-    scheduler = MinibatchScheduler(graph, splits, batch_size=512, seed=0)
-    batches = list(scheduler.epoch())
+    batches = list(trainer.scheduler.epoch())
+    while len(batches) < 3 * chunk:  # enough steps to time
+        batches += list(trainer.scheduler.epoch())
 
-    def run(batch, params, opt_state):
-        step_fn = steps[batch.edge_type]
-        return step_fn(
-            params, opt_state, device_graph, jnp.int32(batch.k),
-            jnp.asarray(batch.rows), jnp.asarray(batch.cols),
-            jax.random.PRNGKey(0),
-        )
+    # Warmup: compile the chunked step (and pay the first-dispatch cost).
+    trainer.train_chunk(batches[:chunk], chunk)
 
-    # Warmup: compile every edge-type variant.
-    seen = set()
-    for b in batches:
-        if b.edge_type not in seen:
-            params, opt_state, loss = run(b, params, opt_state)
-            loss.block_until_ready()
-            seen.add(b.edge_type)
-
-    # Timed steady-state loop.
-    n_timed = min(60, len(batches))
+    # Timed steady-state chunks (device-resident scan; one dispatch per
+    # `chunk` optimization steps).
+    n_timed = (min(150, len(batches) - chunk) // chunk) * chunk
     start = time.perf_counter()
-    for b in batches[:n_timed]:
-        params, opt_state, loss = run(b, params, opt_state)
-    loss.block_until_ready()
+    for i in range(chunk, chunk + n_timed, chunk):
+        losses = trainer.train_chunk(batches[i : i + chunk], chunk)
+    jax.block_until_ready(trainer.params)
     elapsed = time.perf_counter() - start
     step_latency = elapsed / n_timed
 

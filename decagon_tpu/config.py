@@ -88,4 +88,5 @@ class Config:
             margin=float(self.get("max_margin", 0.1)),
             neg_sample_weight=float(self.get("neg_sample_size", 1.0)),
             num_epochs=int(self.get("NumEpochs", self.get("epochs", 50))),
+            scan_chunk=int(self.get("ScanChunk", 0)),
         )

@@ -43,6 +43,11 @@ class TrainConfig:
     margin: float = 0.1
     neg_sample_weight: float = 1.0
     num_epochs: int = 50
+    # >0: run training as device-resident scanned chunks of this many
+    # optimization steps per dispatch (see make_chunked_train_step).
+    # Iteration hooks then observe post-chunk params; pick a chunk that
+    # divides the log/checkpoint cadence when that matters.
+    scan_chunk: int = 0
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -105,6 +110,86 @@ def make_train_steps(
         for et in graph.edge_types
     }
     return steps, optimizer
+
+
+def make_chunked_train_step(
+    model: DecagonModel,
+    graph: DeviceGraph,
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    """Device-resident multi-step training: one jitted function running a
+    fixed-length ``lax.scan`` of optimization steps, with ``lax.switch``
+    over the per-edge-type scoring branches.
+
+    Per-step math is identical to ``make_train_step`` (full-graph encoder
+    fwd+bwd, unigram^0.75 negatives, hinge/xent, Adam) and the per-step
+    RNG is ``fold_in(base_rng, step_no)`` — the same stream as the
+    per-step path, so the two produce identical loss traces.  The win is
+    dispatch: one host->device round trip per chunk instead of per
+    iteration (the reference re-entered ``session.run`` per step,
+    ``DecagonTrainer.py:90-102``).
+
+    Returns ``chunk(params, opt_state, graph, base_rng, branch[C], k[C],
+    rows[C,B], cols[C,B], step_no[C], valid[C]) -> (params, opt_state,
+    losses[C])``.  Steps with ``valid=False`` are computed but fully
+    masked (params/opt_state pass through unchanged; loss reported NaN) —
+    they pad the final chunk of an epoch.
+    """
+    edge_types = list(graph.edge_types)
+
+    def loss_fn(params, graph: DeviceGraph, branch, k, rows, cols, rng):
+        enc_rng, sample_rng = jax.random.split(rng)
+        embeddings = model.embeddings(
+            params, graph, enc_rng, deterministic=False
+        )
+
+        def make_branch(et):
+            et_key = etkey(et)
+
+            def scoring(_):
+                pos = model.score_edges(
+                    params, graph, embeddings, et, k, rows, cols
+                )
+                neg_rows = sample_unigram(
+                    sample_rng, graph.neg_cdf[et_key][k], cfg.batch_size
+                )
+                neg = model.score_edges(
+                    params, graph, embeddings, et, k, neg_rows, cols
+                )
+                if cfg.loss == "hinge":
+                    return LOSSES["hinge"](pos, neg, cfg.margin)
+                return LOSSES["xent"](pos, neg, cfg.neg_sample_weight)
+
+            return scoring
+
+        return jax.lax.switch(
+            branch, [make_branch(et) for et in edge_types], None
+        )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def chunk(params, opt_state, graph, base_rng, branch, k, rows, cols,
+              step_no, valid):
+        def body(carry, xs):
+            params, opt_state = carry
+            b, kk, r, c, sn, v = xs
+            rng = jax.random.fold_in(base_rng, sn)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, graph, b, kk, r, c, rng
+            )
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            keep = lambda n, o: jnp.where(v, n, o)
+            params = jax.tree_util.tree_map(keep, new_params, params)
+            opt_state = jax.tree_util.tree_map(keep, new_opt, opt_state)
+            return (params, opt_state), jnp.where(v, loss, jnp.nan)
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (branch, k, rows, cols, step_no, valid)
+        )
+        return params, opt_state, losses
+
+    return chunk
 
 
 def make_eval_scores(

@@ -67,6 +67,10 @@ class Trainer:
         self.iteration_hook = iteration_hook
         self.epoch_hook = epoch_hook
         self.global_step = 0
+        self._chunk_fn = None
+        self._branch_idx = {
+            et: i for i, et in enumerate(device_graph.edge_types)
+        }
 
     def train_batch(self, batch: Minibatch) -> float:
         step_fn = self.steps[batch.edge_type]
@@ -83,27 +87,89 @@ class Trainer:
         self.global_step += 1
         return loss
 
-    def train(self, num_epochs: Optional[int] = None) -> None:
-        epochs = num_epochs or self.config.num_epochs
-        for epoch in range(epochs):
-            iteration = 0
-            for batch in self.scheduler.epoch():
-                start = time.perf_counter()
-                loss = self.train_batch(batch)
-                if self.iteration_hook is not None:
-                    # Block for an honest latency only when someone listens.
-                    loss = float(loss)
-                    latency = time.perf_counter() - start
+    def train_chunk(self, batches: list, chunk_size: int) -> np.ndarray:
+        """Run up to ``chunk_size`` optimization steps in ONE device
+        dispatch (``make_chunked_train_step``); fewer batches are padded
+        with masked no-op steps.  Returns the per-step losses
+        ``[len(batches)]``.  Loss traces match ``train_batch`` exactly
+        (same per-step RNG stream)."""
+        if self._chunk_fn is None:
+            from decagon_tpu.train.step import make_chunked_train_step
+
+            self._chunk_fn = make_chunked_train_step(
+                self.model, self.device_graph, self.config, self.optimizer
+            )
+        n = len(batches)
+        assert 0 < n <= chunk_size
+        b = self.config.batch_size
+        branch = np.zeros(chunk_size, np.int32)
+        ks = np.zeros(chunk_size, np.int32)
+        rows = np.zeros((chunk_size, b), np.int32)
+        cols = np.zeros((chunk_size, b), np.int32)
+        step_no = np.zeros(chunk_size, np.int32)
+        valid = np.zeros(chunk_size, bool)
+        for j, batch in enumerate(batches):
+            branch[j] = self._branch_idx[batch.edge_type]
+            ks[j] = batch.k
+            rows[j] = batch.rows
+            cols[j] = batch.cols
+            step_no[j] = self.global_step + j
+            valid[j] = True
+        self.params, self.opt_state, losses = self._chunk_fn(
+            self.params, self.opt_state, self.device_graph, self.step_rng,
+            jnp.asarray(branch), jnp.asarray(ks), jnp.asarray(rows),
+            jnp.asarray(cols), jnp.asarray(step_no), jnp.asarray(valid),
+        )
+        self.global_step += n
+        return np.asarray(losses)[:n]
+
+    def _train_epoch_scanned(self, epoch: int, chunk_size: int) -> None:
+        batches = list(self.scheduler.epoch())
+        iteration = 0
+        for i in range(0, len(batches), chunk_size):
+            group = batches[i : i + chunk_size]
+            start = time.perf_counter()
+            losses = self.train_chunk(group, chunk_size)
+            if self.iteration_hook is not None:
+                latency = (time.perf_counter() - start) / len(group)
+                for batch, loss in zip(group, losses):
                     self.iteration_hook(
                         self,
                         IterationResult(
                             epoch=epoch,
                             iteration=iteration,
-                            loss=loss,
+                            loss=float(loss),
                             latency=latency,
                             edge_type=(*batch.edge_type, batch.k),
                         ),
                     )
-                iteration += 1
+                    iteration += 1
+
+    def train(self, num_epochs: Optional[int] = None) -> None:
+        epochs = num_epochs or self.config.num_epochs
+        for epoch in range(epochs):
+            if self.config.scan_chunk > 0:
+                self._train_epoch_scanned(epoch, self.config.scan_chunk)
+            else:
+                iteration = 0
+                for batch in self.scheduler.epoch():
+                    start = time.perf_counter()
+                    loss = self.train_batch(batch)
+                    if self.iteration_hook is not None:
+                        # Block for an honest latency only when someone
+                        # listens.
+                        loss = float(loss)
+                        latency = time.perf_counter() - start
+                        self.iteration_hook(
+                            self,
+                            IterationResult(
+                                epoch=epoch,
+                                iteration=iteration,
+                                loss=loss,
+                                latency=latency,
+                                edge_type=(*batch.edge_type, batch.k),
+                            ),
+                        )
+                    iteration += 1
             if self.epoch_hook is not None:
                 self.epoch_hook(self, epoch)

@@ -102,6 +102,55 @@ def test_training_reduces_loss_and_evaluates(small_world):
     assert 0.0 <= pooled.auroc <= 1.0
 
 
+def test_scanned_chunks_match_per_step_path(small_world):
+    """The device-resident lax.scan training path must reproduce the
+    per-step dispatch path exactly (same RNG stream per step)."""
+    graph, splits, device_graph = small_world
+    model = DecagonModel(
+        ModelConfig(hidden1=8, hidden2=4, dropout=0.1), device_graph
+    )
+    cfg = TrainConfig(batch_size=32, learning_rate=1e-3)
+
+    t_ref = Trainer(model, graph, splits, device_graph, cfg, seed=7)
+    batches = list(t_ref.scheduler.epoch())[:11]
+    ref_losses = [float(t_ref.train_batch(b)) for b in batches]
+
+    t_scan = Trainer(model, graph, splits, device_graph, cfg, seed=7)
+    got_losses = []
+    # Uneven chunks: 4 full-ish, then a padded remainder.
+    for i in range(0, len(batches), 4):
+        got_losses.extend(t_scan.train_chunk(batches[i : i + 4], 4))
+    assert t_scan.global_step == t_ref.global_step == len(batches)
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        t_scan.params,
+        t_ref.params,
+    )
+
+
+def test_trainer_scan_chunk_config(small_world):
+    graph, splits, device_graph = small_world
+    model = DecagonModel(
+        ModelConfig(hidden1=8, hidden2=4, dropout=0.1), device_graph
+    )
+    cfg = TrainConfig(
+        batch_size=32, learning_rate=1e-3, num_epochs=1, scan_chunk=8
+    )
+    seen = []
+    trainer = Trainer(
+        model, graph, splits, device_graph, cfg, seed=1,
+        iteration_hook=lambda t, r: seen.append(r),
+    )
+    trainer.train()
+    assert trainer.global_step == len(seen) > 0
+    assert all(np.isfinite(r.loss) for r in seen)
+    assert [r.iteration for r in seen] == list(range(len(seen)))
+
+
 def test_apk_matches_reference_semantics():
     # Hand-checked examples of the reference apk (rank_metrics.py:4-40).
     assert average_precision_at_k([0, 1], [0, 5, 1], k=3) == pytest.approx(
