@@ -40,9 +40,12 @@ def main() -> None:
         n_genes=500, n_drugs=400, n_drugdrug_types=3, seed=0
     )
     splits = split_graph(graph, val_frac=0.05, test_frac=0.0, seed=1)
-    device_graph = build_device_graph(graph, splits)
-    model = DecagonModel(ModelConfig(hidden1=64, hidden2=32, dropout=0.1),
-                         device_graph)
+    on_accel = jax.default_backend() != "cpu"
+    device_graph = build_device_graph(graph, splits, tile_for_pallas=on_accel)
+    model = DecagonModel(
+        ModelConfig(hidden1=64, hidden2=32, dropout=0.1, spmm_impl="auto"),
+        device_graph,
+    )
     chunk = 50
     cfg = TrainConfig(batch_size=512, learning_rate=1e-3, scan_chunk=chunk)
     trainer = Trainer(model, graph, splits, device_graph, cfg, seed=0)

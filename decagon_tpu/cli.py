@@ -140,9 +140,17 @@ def train_once(
         )
         print(f"recorded held-out edges -> {path}")
 
+    import jax
+
     device_graph = build_device_graph(
         full, splits,
-        tile_for_pallas=model_cfg.spmm_impl.startswith("pallas"),
+        tile_for_pallas=(
+            "pallas" in model_cfg.spmm_impl
+            or (
+                model_cfg.spmm_impl == "auto"
+                and jax.default_backend() != "cpu"
+            )
+        ),
     )
     model = DecagonModel(model_cfg, device_graph)
 

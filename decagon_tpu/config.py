@@ -77,7 +77,7 @@ class Config:
             hidden1=int(self.get("hidden1", 64)),
             hidden2=int(self.get("hidden2", 32)),
             dropout=float(self.get("dropout", 0.1)),
-            spmm_impl=str(self.get("SpmmImpl", "xla")),
+            spmm_impl=str(self.get("SpmmImpl", "auto")),
         )
 
     def train_config(self) -> TrainConfig:

@@ -73,6 +73,42 @@ class EdgeTypeAdj:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class FusedAdj:
+    """ALL edge types' normalized adjacencies as ONE flat COO stream.
+
+    Source indices address a concatenation of every edge type's
+    flattened per-relation projected-feature stack ``[K_et * N_j(et), H]``
+    (blocks in sorted edge-type order, offsets in ``layout``); destination
+    indices address a concatenation of per-edge-type output *terms*
+    ``[N_i(et), H]`` (offsets in ``terms``).  This lets an encoder layer
+    run the whole multi-relational aggregation as ONE gather + ONE
+    segment-sum, regardless of edge-type count — the op-count-optimal
+    shape for small graphs where per-op dispatch dominates (each edge
+    type's term is still row-normalized separately afterwards, reference
+    ``layers.py:85-94``).
+    """
+
+    src: jax.Array  # int32 [E_pad] into the projected space
+    dst: jax.Array  # int32 [E_pad] into the term space
+    vals: jax.Array  # float32 [E_pad]; padding entries are 0
+    # Optional Pallas tilings over the SAME global index spaces (forward
+    # scatter into [n_t_rows], backward into [n_p_rows]).
+    tiles_fwd: Optional[TiledEdges]
+    tiles_bwd: Optional[TiledEdges]
+    # (etkey, p_start, num_rel, n_cols) per edge type, sorted-et order
+    layout: Tuple[Tuple[str, int, int, int], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+    # (etkey, t_start, n_rows) per edge type, sorted-et order
+    terms: Tuple[Tuple[str, int, int], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+    n_p_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_t_rows: int = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class DeviceGraph:
     """Everything the jitted train/eval steps need, resident on device.
 
@@ -87,6 +123,7 @@ class DeviceGraph:
     adj: Dict[str, EdgeTypeAdj]
     features: Dict[str, Optional[jax.Array]]
     neg_cdf: Dict[str, jax.Array]
+    fused: Optional[FusedAdj]
     num_nodes: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     feature_dims: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     decoders: Tuple[Tuple[str, str], ...] = dataclasses.field(
@@ -191,6 +228,57 @@ def build_device_graph(
             np.stack(cdf_rows), jnp.float32
         )
 
+    # Fused all-edge-type stream (one gather + segment-sum per layer).
+    layout, terms = [], []
+    p_start = t_start = 0
+    fused_src, fused_dst, fused_vals = [], [], []
+    for (i, j), rels in sorted(graph.relations.items()):
+        key = etkey((i, j))
+        n_i, n_j = graph.num_nodes[i], graph.num_nodes[j]
+        layout.append((key, p_start, len(rels), n_j))
+        terms.append((key, t_start, n_i))
+        for k in range(len(rels)):
+            split = splits[(i, j, k)]
+            fused_src.append(
+                p_start + k * n_j + split.adj_cols.astype(np.int64)
+            )
+            fused_dst.append(t_start + split.adj_rows.astype(np.int64))
+            fused_vals.append(split.adj_vals)
+        p_start += len(rels) * n_j
+        t_start += n_i
+    src = np.concatenate(fused_src) if fused_src else np.zeros(0, np.int64)
+    dst = np.concatenate(fused_dst) if fused_dst else np.zeros(0, np.int64)
+    vals = (
+        np.concatenate(fused_vals) if fused_vals else np.zeros(0, np.float32)
+    )
+    padded = _round_up(max(1, vals.shape[0]), edge_pad_multiple)
+    pad = padded - vals.shape[0]
+    if pad:
+        src = np.concatenate([src, np.zeros(pad, np.int64)])
+        dst = np.concatenate([dst, np.zeros(pad, np.int64)])
+        vals = np.concatenate([vals, np.zeros(pad, np.float32)])
+    fused_tiles_fwd = fused_tiles_bwd = None
+    if tile_for_pallas:
+        fused_tiles_fwd = build_tiles(
+            src, dst, vals, p_start, t_start,
+            block_r=tile_block, block_s=tile_block, tile_c=tile_block,
+        )
+        fused_tiles_bwd = build_tiles(
+            dst, src, vals, t_start, p_start,
+            block_r=tile_block, block_s=tile_block, tile_c=tile_block,
+        )
+    fused = FusedAdj(
+        src=jnp.asarray(src, jnp.int32),
+        dst=jnp.asarray(dst, jnp.int32),
+        vals=jnp.asarray(vals, jnp.float32),
+        tiles_fwd=fused_tiles_fwd,
+        tiles_bwd=fused_tiles_bwd,
+        layout=tuple(layout),
+        terms=tuple(terms),
+        n_p_rows=p_start,
+        n_t_rows=t_start,
+    )
+
     features: Dict[str, Optional[jax.Array]] = {}
     feature_dims = []
     for t in range(len(graph.num_nodes)):
@@ -209,6 +297,7 @@ def build_device_graph(
         adj=adj,
         features=features,
         neg_cdf=neg_cdf,
+        fused=fused,
         num_nodes=tuple(graph.num_nodes),
         feature_dims=tuple(feature_dims),
         decoders=decoders,

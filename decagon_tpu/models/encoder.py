@@ -29,6 +29,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from decagon_tpu.graph.device import DeviceGraph, etkey, parse_etkey
 from decagon_tpu.models.init import glorot
@@ -71,13 +72,37 @@ def _project(
     rate: float,
     deterministic: bool,
     per_relation_dropout_max: int,
+    identity_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Per-relation projected features P [K, N_src, H]."""
+    """Per-relation projected features P [K, N_src, H].
+
+    ``identity_mask``: optional precomputed keep-mask [K, F, 1] for the
+    identity-feature fast path — lets the caller draw ONE bernoulli for
+    all edge types of a layer instead of one RNG chain per edge type.
+    """
     num_rel = weights.shape[0]
+    keep = 1.0 - rate
     if feat is None:
         # Identity features: X @ W == W; sparse dropout on the one-hot is
         # a per-(relation, node) row mask — exact reference parity.
+        if identity_mask is not None:
+            if deterministic or rate <= 0.0:
+                return weights
+            return jnp.where(identity_mask, weights / keep, 0.0)
         return row_dropout(rng, weights, rate, deterministic)
+    if identity_mask is not None and not deterministic and rate > 0.0:
+        # Precomputed dense-feature mask: [K, N, F] (fresh mask per
+        # relation, reference layers.py:87-91) or [N, F] (shared).
+        dropped = jnp.where(identity_mask, feat / keep, 0.0)
+        if identity_mask.ndim == 3:
+            return jnp.einsum(
+                "knf,kfh->knh", dropped, weights,
+                preferred_element_type=jnp.float32,
+            )
+        return jnp.einsum(
+            "nf,kfh->knh", dropped, weights,
+            preferred_element_type=jnp.float32,
+        )
     if (
         not deterministic
         and rate > 0.0
@@ -114,7 +139,57 @@ def encode(
     replicated parameters (SURVEY.md §5.8's boundary-exchange design,
     expressed as an XLA collective over ICI).
     """
+    if spmm_impl == "auto":
+        has_tiles = all(
+            a.tiles_fwd is not None for a in graph.adj.values()
+        )
+        spmm_impl = (
+            "pallas"
+            if has_tiles and jax.default_backend() != "cpu"
+            else "xla"
+        )
+
     num_types = len(graph.num_nodes)
+
+    def _layer_rng(et, tag):
+        if rng is None:
+            return None
+        return jax.random.fold_in(rng, tag * 1009 + et[0] * 31 + et[1])
+
+    def _layer_masks(level: str, tag: int, inputs):
+        """ONE bernoulli draw per layer covering every edge type's
+        dropout mask; returns {etkey: mask}.  Mask shapes: [K, F, 1]
+        (identity features: per-(relation, node) row mask), [K, N, F]
+        (dense, fresh mask per relation — reference layers.py:87-91) or
+        [N, F] (dense, relation count above the per-relation cap).
+        Collapses the per-edge-type RNG chains (fold_in + bernoulli
+        each) that dominate encoder latency at small graph sizes."""
+        if rng is None or deterministic or dropout_rate <= 0.0:
+            return {}
+        spans = []
+        total = 0
+        for et in graph.edge_types:
+            key = etkey(et)
+            w = params[level][key]
+            k = w.shape[0]
+            feat = inputs[str(et[1])]
+            if feat is None:
+                shape = (k, w.shape[1], 1)
+            elif k <= per_relation_dropout_max:
+                shape = (k,) + feat.shape
+            else:
+                shape = feat.shape
+            spans.append((key, total, shape))
+            total += int(np.prod(shape))
+        bits = jax.random.bernoulli(
+            jax.random.fold_in(rng, tag * 7919),
+            p=1.0 - dropout_rate,
+            shape=(total,),
+        )
+        return {
+            key: bits[start : start + int(np.prod(shape))].reshape(shape)
+            for key, start, shape in spans
+        }
 
     def layer(
         level: str,
@@ -122,6 +197,7 @@ def encode(
         relu: bool,
         tag: int,
     ) -> Dict[str, jax.Array]:
+        masks = _layer_masks(level, tag, inputs)
         out: Dict[str, jax.Array] = {}
         for i in range(num_types):
             acc = None
@@ -129,20 +205,14 @@ def encode(
                 if et[0] != i:
                     continue
                 key = etkey(et)
-                layer_rng = (
-                    jax.random.fold_in(
-                        rng, tag * 1009 + et[0] * 31 + et[1]
-                    )
-                    if rng is not None
-                    else None
-                )
                 p_stack = _project(
                     inputs[str(et[1])],
                     params[level][key],
-                    layer_rng,
+                    _layer_rng(et, tag),
                     dropout_rate,
                     deterministic,
                     per_relation_dropout_max,
+                    identity_mask=masks.get(key),
                 )
                 agg = spmm(p_stack, graph.adj[key], impl=spmm_impl)
                 if axis_name is not None:
@@ -155,6 +225,70 @@ def encode(
                 raise ValueError(f"node type {i} has no incoming edge types")
             out[str(i)] = jax.nn.relu(acc) if relu else acc
         return out
+
+    def fused_layer(
+        level: str,
+        inputs: Dict[str, Optional[jax.Array]],
+        relu: bool,
+        tag: int,
+    ) -> Dict[str, jax.Array]:
+        """Same math as ``layer`` with the aggregation of ALL edge types
+        fused into one gather + one segment-sum over
+        ``graph.fused`` (per-term row normalization unchanged)."""
+        fa = graph.fused
+        masks = _layer_masks(level, tag, inputs)
+        parts = []
+        for key, _, _, _ in fa.layout:
+            et = parse_etkey(key)
+            parts.append(
+                _project(
+                    inputs[str(et[1])],
+                    params[level][key],
+                    _layer_rng(et, tag),
+                    dropout_rate,
+                    deterministic,
+                    per_relation_dropout_max,
+                    identity_mask=masks.get(key),
+                ).reshape(-1, params[level][key].shape[-1])
+            )
+        p_global = jnp.concatenate(parts, axis=0)
+        if spmm_impl.startswith("fused_pallas"):
+            from decagon_tpu.ops.spmm_pallas import spmm_pallas_flat
+
+            t_global = spmm_pallas_flat(
+                p_global, fa,
+                interpret=spmm_impl == "fused_pallas_interpret",
+            )
+        else:
+            msgs = p_global[fa.src] * fa.vals[:, None]
+            t_global = jax.ops.segment_sum(
+                msgs, fa.dst, num_segments=fa.n_t_rows
+            )
+        if axis_name is not None:
+            from decagon_tpu.parallel.collectives import all_reduce_sum
+
+            t_global = all_reduce_sum(axis_name)(t_global)
+        out: Dict[str, jax.Array] = {}
+        for i in range(num_types):
+            acc = None
+            for key, t_start, n_i in fa.terms:
+                if parse_etkey(key)[0] != i:
+                    continue
+                term = l2_normalize_rows(t_global[t_start : t_start + n_i])
+                acc = term if acc is None else acc + term
+            if acc is None:
+                raise ValueError(f"node type {i} has no incoming edge types")
+            out[str(i)] = jax.nn.relu(acc) if relu else acc
+        return out
+
+    if spmm_impl.startswith("fused"):
+        if graph.fused is None:
+            raise ValueError(
+                "spmm_impl='fused*' requires a device graph built with the "
+                "fused stream (build_device_graph default)"
+            )
+        h1 = fused_layer("enc1", graph.features, relu=True, tag=1)
+        return fused_layer("enc2", h1, relu=False, tag=2)
 
     h1 = layer("enc1", graph.features, relu=True, tag=1)
     return layer("enc2", h1, relu=False, tag=2)

@@ -33,7 +33,9 @@ class ModelConfig:
     hidden2: int = 32
     dropout: float = 0.1
     per_relation_dropout_max: int = 64
-    spmm_impl: str = "xla"
+    # "auto" resolves to the Pallas tiled kernel when the device graph
+    # carries tilings and the backend is an accelerator; XLA otherwise.
+    spmm_impl: str = "auto"
 
 
 class DecagonModel:

@@ -203,6 +203,50 @@ def _bwd(n_rows, interpret, residuals, ct):
 _spmm_pallas_op.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _spmm_pallas_flat_op(
+    p_flat: jax.Array,
+    tiles_fwd: TiledEdges,
+    tiles_bwd: TiledEdges,
+    n_rows: int,
+    interpret: bool,
+) -> jax.Array:
+    _, h = p_flat.shape
+    out = spmm_tiled(p_flat, tiles_fwd, interpret)
+    return out[:n_rows, :h]
+
+
+def _flat_fwd(p_flat, tiles_fwd, tiles_bwd, n_rows, interpret):
+    out = _spmm_pallas_flat_op(p_flat, tiles_fwd, tiles_bwd, n_rows, interpret)
+    return out, (tiles_bwd, p_flat.shape)
+
+
+def _flat_bwd(n_rows, interpret, residuals, ct):
+    tiles_bwd, (m, h) = residuals
+    d_flat = spmm_tiled(ct, tiles_bwd, interpret)
+    return (d_flat[:m, :h], None, None)
+
+
+_spmm_pallas_flat_op.defvjp(_flat_fwd, _flat_bwd)
+
+
+def spmm_pallas_flat(
+    p_flat: jax.Array, fused, interpret: bool = False
+) -> jax.Array:
+    """Fused-stream SpMM via the tiled Pallas kernel: scatter the global
+    projected table ``p_flat [n_p_rows, H]`` into the term space
+    ``[n_t_rows, H]`` in ONE kernel launch (``fused`` must carry tilings
+    from ``build_device_graph(..., tile_for_pallas=True)``)."""
+    if fused.tiles_fwd is None or fused.tiles_bwd is None:
+        raise ValueError(
+            "fused stream has no tilings; build the device graph with "
+            "tile_for_pallas=True to use the fused Pallas SpMM"
+        )
+    return _spmm_pallas_flat_op(
+        p_flat, fused.tiles_fwd, fused.tiles_bwd, fused.n_t_rows, interpret
+    )
+
+
 def spmm_pallas(p_stack: jax.Array, adj, interpret: bool = False) -> jax.Array:
     """SpMM via the tiled Pallas kernel; ``adj`` must carry tilings
     (``EdgeTypeAdj.tiles_fwd`` / ``tiles_bwd`` from

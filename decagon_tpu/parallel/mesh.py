@@ -19,7 +19,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from decagon_tpu.graph.device import DeviceGraph, EdgeTypeAdj
+from decagon_tpu.graph.device import DeviceGraph, EdgeTypeAdj, FusedAdj
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "edge") -> Mesh:
@@ -53,10 +53,24 @@ def graph_pspecs(graph: DeviceGraph, axis: str = "edge") -> DeviceGraph:
         for key, feat in graph.features.items()
     }
     neg_cdf = {key: P() for key in graph.neg_cdf}
+    fused = None
+    if graph.fused is not None:
+        fused = FusedAdj(
+            src=P(axis),
+            dst=P(axis),
+            vals=P(axis),
+            tiles_fwd=None,
+            tiles_bwd=None,
+            layout=graph.fused.layout,
+            terms=graph.fused.terms,
+            n_p_rows=graph.fused.n_p_rows,
+            n_t_rows=graph.fused.n_t_rows,
+        )
     return DeviceGraph(
         adj=adj,
         features=features,
         neg_cdf=neg_cdf,
+        fused=fused,
         num_nodes=graph.num_nodes,
         feature_dims=graph.feature_dims,
         decoders=graph.decoders,
@@ -104,10 +118,28 @@ def shard_device_graph(
     neg_cdf = {
         key: jax.device_put(c, replicated) for key, c in graph.neg_cdf.items()
     }
+    fused = None
+    if graph.fused is not None:
+        f = graph.fused
+        e = f.vals.shape[0]
+        e_pad = ((e + n - 1) // n) * n
+        sharding = NamedSharding(mesh, P(axis))
+        fused = FusedAdj(
+            src=jax.device_put(pad_to(f.src, e_pad), sharding),
+            dst=jax.device_put(pad_to(f.dst, e_pad), sharding),
+            vals=jax.device_put(pad_to(f.vals, e_pad), sharding),
+            tiles_fwd=None,
+            tiles_bwd=None,
+            layout=f.layout,
+            terms=f.terms,
+            n_p_rows=f.n_p_rows,
+            n_t_rows=f.n_t_rows,
+        )
     return DeviceGraph(
         adj=adj,
         features=features,
         neg_cdf=neg_cdf,
+        fused=fused,
         num_nodes=graph.num_nodes,
         feature_dims=graph.feature_dims,
         decoders=graph.decoders,

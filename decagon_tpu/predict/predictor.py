@@ -150,6 +150,15 @@ class TrainingEdgeIterator:
         out[:, 0, 0, :] = raw[:, 2:3]
         return out
 
+    def get_train_edges_as_dataframe(self):
+        """Edges + labels as a pandas DataFrame (reference
+        ``NpPredictor.py:156-212`` exposes the same tabular view)."""
+        import pandas as pd
+
+        return pd.DataFrame(
+            self._edges, columns=["FromNode", "ToNode", "Label"]
+        )
+
 
 class NpPredictor:
     """Scores one relation's held-out edges from the artifact dumps."""

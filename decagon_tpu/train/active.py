@@ -200,3 +200,66 @@ class GreedyActiveLearner(RandomMaskingActiveLearner):
             ).astype(np.int32)
             scores[sel] = np.asarray(self.scorer(int(k), edges))
         return np.argsort(-scores, kind="stable")[:count]
+
+
+class PretrainedGreedyActiveLearner(GreedyActiveLearner):
+    """Greedy selection scored by a PRETRAINED model restored from a
+    checkpoint (reference ``PretrainedGreedyActiveLearner.py:31-40`` —
+    the reference variant is bit-rotted; the intent, restore-then-score,
+    is implemented).
+
+    The scorer is fixed at construction from the restored params, so
+    even the FIRST curriculum iteration selects greedily (unlike
+    ``GreedyActiveLearner``, whose scorer only exists after one round of
+    training).
+    """
+
+    def __init__(
+        self,
+        *args,
+        checkpoint_dir: str,
+        model,
+        device_graph,
+        params_template,
+        opt_state_template=None,
+        **kwargs,
+    ):
+        from decagon_tpu.train.checkpoint import Checkpointer
+        from decagon_tpu.train.step import make_eval_scores
+
+        super().__init__(*args, **kwargs)
+        ckpt = Checkpointer(checkpoint_dir)
+        state = ckpt.restore_latest(
+            {"params": params_template}
+            if opt_state_template is None
+            else {"params": params_template, "opt_state": opt_state_template}
+        )
+        if state is None:
+            raise FileNotFoundError(
+                f"no checkpoint found under {checkpoint_dir}"
+            )
+        params = state["params"]
+        score_fn = make_eval_scores(model, self.drug_drug)
+
+        def scorer(k: int, edges: np.ndarray) -> np.ndarray:
+            return np.asarray(
+                score_fn(
+                    params,
+                    device_graph,
+                    k,
+                    np.ascontiguousarray(edges[:, 0], dtype=np.int32),
+                    np.ascontiguousarray(edges[:, 1], dtype=np.int32),
+                )
+            )
+
+        self.scorer = scorer
+
+    def _select_indices(self, count: int) -> np.ndarray:
+        # Pretrained scorer is valid from iteration 0 onward.
+        if self.scorer is None:
+            return self._random_indices(count)
+        saved, self.num_iters = self.num_iters, max(1, self.num_iters)
+        try:
+            return super()._select_indices(count)
+        finally:
+            self.num_iters = saved

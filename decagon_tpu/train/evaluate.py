@@ -55,6 +55,24 @@ def average_precision_at_k(
     return score / min(len(actual), k)
 
 
+def mean_average_precision_at_k(
+    actual: Sequence[Sequence[int]],
+    predicted: Sequence[Sequence[int]],
+    k: int = 10,
+) -> float:
+    """Mean AP@k over queries (reference ``rank_metrics.py:43-67``)."""
+    if not actual:
+        return 0.0
+    return float(
+        np.mean(
+            [
+                average_precision_at_k(a, p, k)
+                for a, p in zip(actual, predicted)
+            ]
+        )
+    )
+
+
 def compute_scores(
     probs_pos: np.ndarray, probs_neg: np.ndarray, apk_k: int = 50
 ) -> AccuracyScores:

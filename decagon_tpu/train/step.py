@@ -52,8 +52,12 @@ class TrainConfig:
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     # TF1 AdamOptimizer defaults: b1=0.9, b2=0.999, eps=1e-8
-    # (reference optimizer.py:111-114).
-    return optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    # (reference optimizer.py:111-114).  optax.flatten runs the update on
+    # ONE concatenated vector instead of ~15 small leaves — measurably
+    # faster per step on TPU at this model size (same math).
+    return optax.flatten(
+        optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    )
 
 
 def make_train_step(

@@ -269,6 +269,81 @@ def test_public_data_parsing_native_matches_python(tmp_path):
     )
 
 
+def test_pretrained_greedy_active_learner(tmp_path, trained):
+    from decagon_tpu.train.active import PretrainedGreedyActiveLearner
+
+    graph, splits, dg, model, trainer = trained
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(0, {"params": trainer.params})
+    ckpt.wait()
+
+    base = make_synthetic_graph(
+        n_genes=80, n_drugs=40, n_drugdrug_types=2, seed=0,
+        with_transposes=False,
+    )
+    learner = PretrainedGreedyActiveLearner(
+        base,
+        test_set_proportion=0.3,
+        init_train_proportion=0.2,
+        seed=0,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        model=model,
+        device_graph=dg,
+        params_template=trainer.params,
+    )
+    assert learner.scorer is not None
+    # Greedy selection from iteration 0: picks the top-scoring cells.
+    masked, _ = learner.get_update()
+    assert sum(r.num_edges for r in masked.relations[(1, 1)]) >= 0
+    # Scorer output matches the evaluator's probabilities.
+    edges = np.array([[0, 1], [2, 3]], dtype=np.int32)
+    got = learner.scorer(0, edges)
+    assert got.shape == (2,) and np.all((got >= 0) & (got <= 1))
+
+
+def test_mean_average_precision_at_k():
+    from decagon_tpu.train.evaluate import (
+        average_precision_at_k,
+        mean_average_precision_at_k,
+    )
+
+    # Reference rank_metrics.py doctest values.
+    assert average_precision_at_k(
+        range(1, 6), [6, 4, 7, 1, 2], 2
+    ) == pytest.approx(0.25)
+    assert average_precision_at_k(
+        range(1, 6), [1, 1, 1, 1, 1], 5
+    ) == pytest.approx(0.2)
+    assert mean_average_precision_at_k(
+        [range(1, 5), range(1, 6)],
+        [[1, 2, 3, 4], [1, 2, 3, 4, 5]],
+        3,
+    ) == pytest.approx(1.0)
+    assert mean_average_precision_at_k([], [], 3) == 0.0
+
+
+def test_training_edge_iterator_dataframe(tmp_path, trained):
+    from decagon_tpu.predict.predictor import TrainingEdgeIterator
+
+    graph, splits, dg, model, trainer = trained
+    emb = model.embeddings(trainer.params, dg, deterministic=True)
+    names = ["C0000001", "C0000002", "C0000003", "C0000004"]
+    export_ndarrays(trainer.params, emb, dg, str(tmp_path / "nd"),
+                    relation_names=names)
+    csv_path = write_heldout_edges_csv(
+        graph, splits, str(tmp_path / "edges.csv"), relation_names=names
+    )
+    info = PredictionsInfo(
+        str(tmp_path / "nd"), csv_path, list(range(graph.num_nodes[1]))
+    )
+    rel = graph.relations[(1, 1)][0]
+    it = TrainingEdgeIterator(info, "C0000001", rel.rows, rel.cols)
+    df = it.get_train_edges_as_dataframe()
+    assert list(df.columns) == ["FromNode", "ToNode", "Label"]
+    assert len(df) == len(it.get_train_edges())
+    assert set(df["Label"].unique()) <= {0, 1}
+
+
 def test_cli_end_to_end(tmp_path, capsys):
     from decagon_tpu import cli
 

@@ -96,6 +96,34 @@ def test_decoder_scores_match_dense_chain(name):
     np.testing.assert_allclose(np.asarray(got_mtx), want_mtx, atol=1e-4)
 
 
+def test_fused_encoder_matches_xla_path(setup):
+    """The fused single-segment-sum encoder and its gradients must equal
+    the per-edge-type XLA path exactly (same math, one aggregation)."""
+    graph, splits, device_graph, model, params = setup
+
+    def total(m):
+        def loss(p):
+            e = m.embeddings(p, device_graph, deterministic=True)
+            return sum(jnp.sum(v * v) for v in e.values())
+        return loss
+
+    fused_model = DecagonModel(
+        ModelConfig(hidden1=16, hidden2=8, spmm_impl="fused"), device_graph
+    )
+    want = model.embeddings(params, device_graph, deterministic=True)
+    got = fused_model.embeddings(params, device_graph, deterministic=True)
+    for t in want:
+        np.testing.assert_allclose(
+            np.asarray(got[t]), np.asarray(want[t]), atol=1e-5
+        )
+    g_want = jax.grad(total(model))(params)
+    g_got = jax.grad(total(fused_model))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_want), jax.tree_util.tree_leaves(g_got)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_dropout_preserves_expectation(setup):
     graph, splits, device_graph, model, params = setup
     cfg = ModelConfig(hidden1=16, hidden2=8, dropout=0.5)
