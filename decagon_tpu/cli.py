@@ -32,12 +32,6 @@ from decagon_tpu.graph.device import build_device_graph
 from decagon_tpu.graph.split import split_graph
 from decagon_tpu.graph.synthetic import make_synthetic_graph
 from decagon_tpu.models.model import DecagonModel
-from decagon_tpu.train.active import (
-    GreedyActiveLearner,
-    NoopActiveLearner,
-    RandomMaskingActiveLearner,
-    RelationFullMaskingLearner,
-)
 from decagon_tpu.train.checkpoint import Checkpointer
 from decagon_tpu.train.evaluate import AccuracyEvaluator
 from decagon_tpu.train.logger import MetricsLogger
@@ -84,26 +78,24 @@ def build_dataset(config: Config):
 
 
 def build_active_learner(config: Config, graph: RelationGraph):
+    from decagon_tpu import registry
+    from decagon_tpu.train.active import BaseActiveLearner
+
     kind = config.get("ActiveLearnerType", "NoopActiveLearner")
     seed = int(config.get("Seed", 0))
     if kind == "NoopActiveLearner":
-        return NoopActiveLearner(graph)
+        return registry.build(BaseActiveLearner, kind, graph=graph)
     kwargs = dict(
         graph=graph,
         test_set_proportion=float(config.get("TestSetProportion", 0.8)),
         init_train_proportion=float(config.get("InitTrainSetProportion", 1.0)),
         seed=seed,
     )
-    if kind == "RandomMaskingActiveLearner":
-        return RandomMaskingActiveLearner(**kwargs)
     if kind == "RelationFullMaskingLearner":
-        return RelationFullMaskingLearner(
-            invalid_relations=set(config.get("InvalidRelationIds", [])),
-            **kwargs,
+        kwargs["invalid_relations"] = set(
+            config.get("InvalidRelationIds", [])
         )
-    if kind == "GreedyActiveLearner":
-        return GreedyActiveLearner(**kwargs)
-    raise ValueError(f"unknown ActiveLearnerType: {kind}")
+    return registry.build(BaseActiveLearner, kind, **kwargs)
 
 
 def train_once(
@@ -183,6 +175,19 @@ def train_once(
         model, full, splits, device_graph, train_cfg, seed=seed,
         iteration_hook=logger.on_iteration, epoch_hook=logger.on_epoch_end,
     )
+    if checkpointer is not None and bool(
+        config.get("ResumeFromCheckpoint", False)
+    ):
+        if trainer.try_resume(checkpointer):
+            print(f"resumed from checkpoint at step {trainer.global_step}")
+    profile_dir = config.get("ProfileDir", None)
+    if profile_dir:
+        # JAX profiler traces (view with tensorboard/xprof).  The
+        # reference's only tracing was the wall-clock Latency CSV column
+        # (SURVEY.md §5.1); both are emitted here.
+        import jax.profiler
+
+        jax.profiler.start_trace(profile_dir)
     if learner is not None and hasattr(learner, "scorer"):
         # Wire the greedy learner to the live model.
         import jax.numpy as jnp
@@ -193,8 +198,14 @@ def train_once(
             )
 
         learner.scorer = scorer
-    trainer.train()
-    logger.close()
+    try:
+        trainer.train()
+    finally:
+        if profile_dir:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+        logger.close()
     return trainer
 
 

@@ -27,9 +27,16 @@ from typing import Callable, Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
 
+from decagon_tpu import registry
 from decagon_tpu.graph.container import RelationGraph, RelationKey
 
 Holdout = Dict[int, Dict[str, np.ndarray]]
+
+
+class BaseActiveLearner:
+    """Factory base for active learners (reference ``BaseActiveLearner``
+    + ``ActiveLearnerType`` enum, ``main/Dtos/Enums``); implementations
+    register under their config-file names via ``decagon_tpu.registry``."""
 
 
 class NoopActiveLearner:
@@ -232,7 +239,8 @@ class PretrainedGreedyActiveLearner(GreedyActiveLearner):
         state = ckpt.restore_latest(
             {"params": params_template}
             if opt_state_template is None
-            else {"params": params_template, "opt_state": opt_state_template}
+            else {"params": params_template, "opt_state": opt_state_template},
+            partial=True,
         )
         if state is None:
             raise FileNotFoundError(
@@ -263,3 +271,21 @@ class PretrainedGreedyActiveLearner(GreedyActiveLearner):
             return super()._select_indices(count)
         finally:
             self.num_iters = saved
+
+
+# Registry names match the reference's ActiveLearnerType enum values plus
+# the greedy variants (GreedyActiveLearner registered functionality=None
+# in the reference — instantiable here, registered under its own name).
+registry.register(BaseActiveLearner, "NoopActiveLearner", NoopActiveLearner)
+registry.register(
+    BaseActiveLearner, "RandomMaskingActiveLearner", RandomMaskingActiveLearner
+)
+registry.register(
+    BaseActiveLearner, "RelationFullMaskingLearner", RelationFullMaskingLearner
+)
+registry.register(BaseActiveLearner, "GreedyActiveLearner", GreedyActiveLearner)
+registry.register(
+    BaseActiveLearner,
+    "PretrainedGreedyActiveLearner",
+    PretrainedGreedyActiveLearner,
+)

@@ -57,13 +57,26 @@ class Checkpointer:
         self.manager.save(step, args=ocp.args.StandardSave(state))
 
     def restore_latest(
-        self, template: Optional[Dict[str, Any]] = None
+        self,
+        template: Optional[Dict[str, Any]] = None,
+        partial: bool = False,
     ) -> Optional[Dict[str, Any]]:
+        """Restore the newest checkpoint (``None`` if the directory holds
+        none).  With ``partial=True``, ``template`` may cover only a
+        subtree of the saved state (e.g. params without optimizer state —
+        the offline-export path)."""
         step = self.manager.latest_step()
         if step is None:
             return None
         if template is not None:
             template = jax.tree_util.tree_map(np.asarray, template)
+            if partial:
+                return self.manager.restore(
+                    step,
+                    args=ocp.args.PyTreeRestore(
+                        template, partial_restore=True
+                    ),
+                )
             return self.manager.restore(
                 step, args=ocp.args.StandardRestore(template)
             )

@@ -111,11 +111,7 @@ class MetricsLogger:
     # ---- internals --------------------------------------------------------
 
     def _checkpoint(self, trainer: Trainer) -> None:
-        self.checkpointer.save(
-            trainer.global_step,
-            {"params": trainer.params, "opt_state": trainer.opt_state,
-             "step": trainer.global_step},
-        )
+        self.checkpointer.save(trainer.global_step, trainer.state_dict())
         if self.ndarray_dir is not None:
             embeddings = trainer.model.embeddings(
                 trainer.params, trainer.device_graph, deterministic=True

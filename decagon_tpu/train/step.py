@@ -144,14 +144,19 @@ def make_chunked_train_step(
 
     def loss_fn(params, graph: DeviceGraph, branch, k, rows, cols, rng):
         enc_rng, sample_rng = jax.random.split(rng)
-        embeddings = model.embeddings(
-            params, graph, enc_rng, deterministic=False
-        )
 
         def make_branch(et):
             et_key = etkey(et)
 
             def scoring(_):
+                # Encoder inside the branch: XLA dead-code-eliminates the
+                # layer-2 terms of node types this edge type never reads
+                # (e.g. a drug-drug step drops the gene-side layer-2
+                # aggregation entirely).  Same RNG stream per branch, so
+                # the math is identical to a shared forward.
+                embeddings = model.embeddings(
+                    params, graph, enc_rng, deterministic=False
+                )
                 pos = model.score_edges(
                     params, graph, embeddings, et, k, rows, cols
                 )

@@ -49,18 +49,44 @@ class Trainer:
         seed: int = 0,
         iteration_hook: Optional[Callable[["Trainer", IterationResult], None]] = None,
         epoch_hook: Optional[Callable[["Trainer", int], None]] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with one axis — the
+        trainer shards the graph's edge streams and the decoder batch
+        over it and runs the edge-partitioned ``shard_map`` step
+        (``decagon_tpu.parallel.sharded``); parameters stay replicated.
+        The scanned-chunk path is single-device only."""
         self.model = model
         self.graph = graph
         self.splits = splits
-        self.device_graph = device_graph
         self.config = config
+        self.mesh = mesh
         self.scheduler = MinibatchScheduler(
             graph, splits, batch_size=config.batch_size, seed=seed
         )
-        self.steps, self.optimizer = make_train_steps(
-            model, device_graph, config
-        )
+        if mesh is not None:
+            if config.scan_chunk:
+                raise ValueError(
+                    "scan_chunk training is single-device; use "
+                    "scan_chunk=0 with a mesh"
+                )
+            from decagon_tpu.parallel.mesh import shard_device_graph
+            from decagon_tpu.parallel.sharded import make_sharded_train_step
+            from decagon_tpu.train.step import make_optimizer
+
+            self.device_graph = shard_device_graph(device_graph, mesh)
+            self.optimizer = make_optimizer(config)
+            self.steps = {
+                et: make_sharded_train_step(
+                    model, et, config, self.optimizer, mesh, device_graph
+                )
+                for et in device_graph.edge_types
+            }
+        else:
+            self.device_graph = device_graph
+            self.steps, self.optimizer = make_train_steps(
+                model, device_graph, config
+            )
         init_rng, self.step_rng = jax.random.split(jax.random.PRNGKey(seed))
         self.params = model.init_params(init_rng, device_graph)
         self.opt_state = self.optimizer.init(self.params)
@@ -71,6 +97,31 @@ class Trainer:
         self._branch_idx = {
             et: i for i, et in enumerate(device_graph.edge_types)
         }
+
+    # ---- checkpoint state ---------------------------------------------
+
+    def state_dict(self) -> Dict:
+        """Checkpointable training state (params + optimizer + step)."""
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "global_step": self.global_step,
+        }
+
+    def load_state_dict(self, state: Dict) -> None:
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.global_step = int(state["global_step"])
+
+    def try_resume(self, checkpointer) -> bool:
+        """Restore the latest checkpoint if one exists; returns whether a
+        restore happened (the reference's ``restore()`` existed but the
+        training loop never called it — SURVEY.md §5.4)."""
+        state = checkpointer.restore_latest(template=self.state_dict())
+        if state is None:
+            return False
+        self.load_state_dict(state)
+        return True
 
     def train_batch(self, batch: Minibatch) -> float:
         step_fn = self.steps[batch.edge_type]
@@ -87,12 +138,14 @@ class Trainer:
         self.global_step += 1
         return loss
 
-    def train_chunk(self, batches: list, chunk_size: int) -> np.ndarray:
+    def train_chunk(self, batches: list, chunk_size: int) -> jax.Array:
         """Run up to ``chunk_size`` optimization steps in ONE device
         dispatch (``make_chunked_train_step``); fewer batches are padded
         with masked no-op steps.  Returns the per-step losses
-        ``[len(batches)]``.  Loss traces match ``train_batch`` exactly
-        (same per-step RNG stream)."""
+        ``[len(batches)]`` as a DEVICE array (no forced sync — callers
+        overlap host-side work for the next chunk with device execution
+        and materialize losses only when they read them).  Loss traces
+        match ``train_batch`` exactly (same per-step RNG stream)."""
         if self._chunk_fn is None:
             from decagon_tpu.train.step import make_chunked_train_step
 
@@ -121,7 +174,7 @@ class Trainer:
             jnp.asarray(cols), jnp.asarray(step_no), jnp.asarray(valid),
         )
         self.global_step += n
-        return np.asarray(losses)[:n]
+        return losses[:n]
 
     def _train_epoch_scanned(self, epoch: int, chunk_size: int) -> None:
         batches = list(self.scheduler.epoch())
@@ -129,7 +182,7 @@ class Trainer:
         for i in range(0, len(batches), chunk_size):
             group = batches[i : i + chunk_size]
             start = time.perf_counter()
-            losses = self.train_chunk(group, chunk_size)
+            losses = np.asarray(self.train_chunk(group, chunk_size))
             if self.iteration_hook is not None:
                 latency = (time.perf_counter() - start) / len(group)
                 for batch, loss in zip(group, losses):

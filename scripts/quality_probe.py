@@ -21,11 +21,12 @@ from decagon_tpu.train.step import TrainConfig
 from decagon_tpu.train.trainer import Trainer
 
 
-def run(tag, epochs=100, loss="hinge", lr=1e-3, dropout=0.1, margin=0.1):
+def run(tag, epochs=100, loss="hinge", lr=1e-3, dropout=0.1, margin=0.1,
+        val_frac=0.1, test_frac=0.05):
     graph = make_synthetic_graph(
         n_genes=500, n_drugs=400, n_drugdrug_types=3, seed=0
     )
-    splits = split_graph(graph, val_frac=0.1, test_frac=0.05, seed=1)
+    splits = split_graph(graph, val_frac=val_frac, test_frac=test_frac, seed=1)
     dg = build_device_graph(graph, splits, tile_for_pallas=True)
     model = DecagonModel(
         ModelConfig(hidden1=64, hidden2=32, dropout=dropout), dg
@@ -58,6 +59,12 @@ if __name__ == "__main__":
         "lr3e3": dict(lr=3e-3),
         "nodrop": dict(dropout=0.0),
         "margin0": dict(margin=0.0),
+        # Reference protocol: val = 5%, test = 50-edge floor, 50 epochs
+        # (minibatch.py:176-177, configuration.json NumEpochs).
+        "refproto": dict(val_frac=0.05, test_frac=0.0, epochs=60),
+        "refproto-nodrop": dict(
+            val_frac=0.05, test_frac=0.0, epochs=60, dropout=0.0
+        ),
     }
     for tag, kw in variants.items():
         if which not in ("all", tag):

@@ -269,6 +269,87 @@ def test_public_data_parsing_native_matches_python(tmp_path):
     )
 
 
+def test_registry_factory():
+    from decagon_tpu import registry
+    from decagon_tpu.train.active import (
+        BaseActiveLearner,
+        NoopActiveLearner,
+        RandomMaskingActiveLearner,
+    )
+
+    known = registry.known(BaseActiveLearner)
+    assert known["NoopActiveLearner"] is NoopActiveLearner
+    assert known["RandomMaskingActiveLearner"] is RandomMaskingActiveLearner
+    assert "PretrainedGreedyActiveLearner" in known
+
+    graph = make_synthetic_graph(n_genes=50, n_drugs=20, seed=0,
+                                 with_transposes=False)
+    learner = registry.build(
+        BaseActiveLearner, "NoopActiveLearner", graph=graph
+    )
+    assert isinstance(learner, NoopActiveLearner)
+    with pytest.raises(KeyError, match="no BaseActiveLearner registered"):
+        registry.build(BaseActiveLearner, "NotAThing")
+
+    # Factorizable subclass auto-registration.
+    from decagon_tpu.registry import Factorizable
+
+    class FakeBase(Factorizable):
+        pass
+
+    class FakeImpl(FakeBase, functionality="FakeImpl"):
+        def __init__(self, x):
+            self.x = x
+
+    class NotRegistered(FakeBase):  # functionality omitted -> skipped
+        pass
+
+    assert registry.build(FakeBase, "FakeImpl", x=3).x == 3
+    assert "NotRegistered" not in registry.known(FakeBase)
+
+
+def test_export_from_checkpoint(tmp_path, trained):
+    from decagon_tpu.predict.export import export_from_checkpoint
+
+    graph, splits, dg, model, trainer = trained
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(1, trainer.state_dict())
+    ckpt.wait()
+    names = ["C0000001", "C0000002", "C0000003", "C0000004"]
+    export_from_checkpoint(
+        model, dg, str(tmp_path / "ck"), str(tmp_path / "out"),
+        trainer.params, relation_names=names,
+    )
+    emb = np.load(tmp_path / "out" / "embeddings.npy")
+    want = np.asarray(
+        model.embeddings(trainer.params, dg, deterministic=True)["1"]
+    )
+    np.testing.assert_allclose(emb, want, atol=1e-6)
+    assert (tmp_path / "out" / "EmbeddingImportance-C0000001.npy").exists()
+
+
+def test_trainer_resume_roundtrip(tmp_path, trained):
+    graph, splits, dg, model, trainer = trained
+    ckpt = Checkpointer(str(tmp_path / "resume"))
+    ckpt.save(trainer.global_step, trainer.state_dict())
+    ckpt.wait()
+
+    from decagon_tpu.train.step import TrainConfig as TC
+
+    fresh = Trainer(model, graph, splits, dg, TC(batch_size=32), seed=99)
+    assert fresh.global_step == 0
+    assert fresh.try_resume(ckpt)
+    assert fresh.global_step == trainer.global_step
+    for a, b in zip(
+        jax.tree_util.tree_leaves(fresh.params),
+        jax.tree_util.tree_leaves(trainer.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # An empty directory resumes nothing.
+    empty = Checkpointer(str(tmp_path / "empty"))
+    assert not fresh.try_resume(empty)
+
+
 def test_pretrained_greedy_active_learner(tmp_path, trained):
     from decagon_tpu.train.active import PretrainedGreedyActiveLearner
 

@@ -95,6 +95,30 @@ def test_sharded_loss_and_grads_match_single_chip(world):
         )
 
 
+def test_trainer_with_mesh_end_to_end(world):
+    """The Trainer API drives the sharded step over the full round-robin
+    schedule: every edge type's sharded step compiles and learns."""
+    from decagon_tpu.train.trainer import Trainer
+
+    graph, splits, device_graph, model, params = world
+    mesh = make_mesh(8)
+    cfg = TrainConfig(batch_size=64, learning_rate=1e-2)
+    trainer = Trainer(
+        model, graph, splits, device_graph, cfg, seed=0, mesh=mesh
+    )
+    losses = []
+    for batch in trainer.scheduler.epoch():
+        losses.append(float(trainer.train_batch(batch)))
+    assert losses and np.all(np.isfinite(losses))
+    assert trainer.global_step == len(losses)
+
+    with pytest.raises(ValueError, match="single-device"):
+        Trainer(
+            model, graph, splits, device_graph,
+            TrainConfig(batch_size=64, scan_chunk=8), mesh=mesh,
+        )
+
+
 def test_sharded_train_step_runs_and_learns(world):
     graph, splits, device_graph, model, params = world
     mesh = make_mesh(8)
