@@ -62,6 +62,12 @@ class EdgeTypeAdj:
     # [n_rows] and backward scatter to [K * n_cols]); None on the XLA path.
     tiles_fwd: Optional[TiledEdges]
     tiles_bwd: Optional[TiledEdges]
+    # Optional dense materialization [K, n_rows, n_cols] for small
+    # relations: below a few million cells the MXU batched matmul beats
+    # any sparse formulation (gather/scatter can't feed the systolic
+    # array), so the aggregation becomes one einsum.  None above the
+    # densify threshold.
+    dense: Optional[jax.Array]
     num_rel: int = dataclasses.field(metadata=dict(static=True))
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
@@ -147,6 +153,7 @@ def build_device_graph(
     edge_pad_multiple: int = 1024,
     tile_for_pallas: bool = False,
     tile_block: int = 256,
+    densify_max_cells: int = 8_000_000,
 ) -> DeviceGraph:
     """Flatten normalized train adjacencies and sampling CDFs onto device.
 
@@ -196,6 +203,14 @@ def build_device_graph(
                 block_r=tile_block, block_s=tile_block, tile_c=tile_block,
             )
 
+        dense = None
+        n_i, n_j = graph.num_nodes[i], graph.num_nodes[j]
+        if len(rels) * n_i * n_j <= densify_max_cells:
+            dense_np = np.zeros((len(rels), n_i, n_j), dtype=np.float32)
+            real = padded - pad  # exclude padding (would clobber (0,0,0))
+            dense_np[rel[:real], receivers[:real], senders[:real]] = vals[:real]
+            dense = jnp.asarray(dense_np)
+
         adj[etkey((i, j))] = EdgeTypeAdj(
             senders=jnp.asarray(senders, jnp.int32),
             receivers=jnp.asarray(receivers, jnp.int32),
@@ -203,6 +218,7 @@ def build_device_graph(
             vals=jnp.asarray(vals, jnp.float32),
             tiles_fwd=tiles_fwd,
             tiles_bwd=tiles_bwd,
+            dense=dense,
             num_rel=len(rels),
             n_rows=graph.num_nodes[i],
             n_cols=graph.num_nodes[j],

@@ -139,15 +139,18 @@ def encode(
     replicated parameters (SURVEY.md §5.8's boundary-exchange design,
     expressed as an XLA collective over ICI).
     """
-    if spmm_impl == "auto":
-        has_tiles = all(
-            a.tiles_fwd is not None for a in graph.adj.values()
-        )
-        spmm_impl = (
-            "pallas"
-            if has_tiles and jax.default_backend() != "cpu"
-            else "xla"
-        )
+    on_accel = jax.default_backend() != "cpu"
+
+    def _resolve_impl(adj) -> str:
+        """Per-edge-type dispatch: dense MXU matmul for small relations,
+        the Pallas tiled kernel when tilings exist, XLA otherwise."""
+        if spmm_impl != "auto":
+            return spmm_impl
+        if on_accel and adj.dense is not None:
+            return "dense"
+        if on_accel and adj.tiles_fwd is not None:
+            return "pallas"
+        return "xla"
 
     num_types = len(graph.num_nodes)
 
@@ -214,7 +217,10 @@ def encode(
                     per_relation_dropout_max,
                     identity_mask=masks.get(key),
                 )
-                agg = spmm(p_stack, graph.adj[key], impl=spmm_impl)
+                agg = spmm(
+                    p_stack, graph.adj[key],
+                    impl=_resolve_impl(graph.adj[key]),
+                )
                 if axis_name is not None:
                     from decagon_tpu.parallel.collectives import all_reduce_sum
 

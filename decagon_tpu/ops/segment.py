@@ -42,8 +42,30 @@ def spmm_segment(
     return jax.ops.segment_sum(msgs, receivers, num_segments=n_out)
 
 
+def spmm_dense(p_stack: jax.Array, dense_adj: jax.Array) -> jax.Array:
+    """``sum_k A_k @ P_k`` as one batched MXU matmul.
+
+    ``dense_adj``: [K, N_out, N_src] materialized adjacency stack.  For
+    small relations (node counts in the hundreds-to-thousands) this is
+    the fastest TPU formulation by a wide margin — the systolic array
+    eats the zeros for free while every sparse formulation pays
+    gather/scatter latency.
+    """
+    return jnp.einsum(
+        "kij,kjh->ih", dense_adj, p_stack,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def spmm(p_stack: jax.Array, adj: "EdgeTypeAdj", impl: str = "xla") -> jax.Array:
     """Aggregate ``sum_k A_k @ P_k`` for one edge type."""
+    if impl == "dense":
+        if adj.dense is None:
+            raise ValueError(
+                "adjacency has no dense stack; build the device graph "
+                "with a densify_max_cells above this relation's size"
+            )
+        return spmm_dense(p_stack, adj.dense)
     if impl == "xla":
         return spmm_segment(
             p_stack, adj.senders, adj.receivers, adj.rel, adj.vals, adj.n_rows

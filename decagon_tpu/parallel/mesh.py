@@ -42,6 +42,7 @@ def graph_pspecs(graph: DeviceGraph, axis: str = "edge") -> DeviceGraph:
             # path uses the XLA SpMM over per-device edge slices.
             tiles_fwd=None,
             tiles_bwd=None,
+            dense=None,
             num_rel=a.num_rel,
             n_rows=a.n_rows,
             n_cols=a.n_cols,
@@ -106,6 +107,7 @@ def shard_device_graph(
             vals=jax.device_put(pad_to(a.vals, e_pad), sharding),
             tiles_fwd=None,
             tiles_bwd=None,
+            dense=None,
             num_rel=a.num_rel,
             n_rows=a.n_rows,
             n_cols=a.n_cols,

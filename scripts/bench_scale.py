@@ -42,7 +42,8 @@ def main() -> None:
     for impl in impls:
         t_build = time.perf_counter()
         device_graph = build_device_graph(
-            graph, splits, tile_for_pallas=("pallas" in impl)
+            graph, splits,
+            tile_for_pallas=("pallas" in impl or impl == "auto"),
         )
         build_s = time.perf_counter() - t_build
         nnz = sum(

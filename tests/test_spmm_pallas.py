@@ -109,3 +109,41 @@ def test_empty_relation_tiling():
         spmm_tiled(jnp.zeros((64, 16)), tiles, interpret=True)
     )
     assert np.all(out == 0.0)
+
+
+def test_dense_spmm_matches_segment():
+    """The densified MXU path (small-relation auto-dispatch) must equal
+    the gather+segment-sum aggregation exactly."""
+    from decagon_tpu.ops.segment import spmm, spmm_dense
+
+    graph = make_synthetic_graph(
+        n_genes=50, n_drugs=30, n_drugdrug_types=2, seed=3
+    )
+    splits = split_graph(graph, val_frac=0.1, test_frac=0.05, seed=4)
+    dg = build_device_graph(graph, splits, edge_pad_multiple=128)
+    rng = np.random.default_rng(0)
+    for key, adj in dg.adj.items():
+        assert adj.dense is not None  # tiny graph: everything densifies
+        p = jnp.asarray(
+            rng.normal(size=(adj.num_rel, adj.n_cols, 16)), jnp.float32
+        )
+        want = spmm(p, adj, impl="xla")
+        got = spmm(p, adj, impl="dense")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4
+        )
+        # nnz parity: the dense stack holds exactly the normalized edges.
+        assert int(jnp.count_nonzero(adj.dense)) == int(
+            jnp.count_nonzero(adj.vals)
+        )
+
+
+def test_densify_threshold_gates_materialization():
+    graph = make_synthetic_graph(
+        n_genes=50, n_drugs=30, n_drugdrug_types=2, seed=3
+    )
+    splits = split_graph(graph, val_frac=0.1, test_frac=0.05, seed=4)
+    dg = build_device_graph(
+        graph, splits, edge_pad_multiple=128, densify_max_cells=100
+    )
+    assert all(a.dense is None for a in dg.adj.values())
