@@ -269,6 +269,38 @@ def test_public_data_parsing_native_matches_python(tmp_path):
     )
 
 
+def test_repair_utilities(tmp_path):
+    from decagon_tpu.data.repair import (
+        repair_heldout_edges_csv,
+        repair_npz_archive,
+    )
+
+    bad = tmp_path / "edges.csv"
+    bad.write_text(
+        "FromNode,ToNode,RelationId,Label\n"
+        "CID000000001,CID000000002,C0000001,1\n"
+        "CID000000003,,C0000001,1\n"  # missing endpoint
+        " CID000000004 ,CID000000005,C0000001,0\n"  # whitespace
+        "CID000000006,CID000000007,C0000001,2\n"  # bad label
+        "CID000000008,CID000000009,C0000001\n"  # short row
+    )
+    out = repair_heldout_edges_csv(str(bad))
+    rows = list(open(out).read().strip().splitlines())
+    assert rows[0] == "FromNode,ToNode,RelationId,Label"
+    assert len(rows) == 3  # header + 2 valid rows
+    assert rows[2] == "CID000000004,CID000000005,C0000001,0"
+
+    npz = tmp_path / "dump.npz"
+    np.savez(npz, arr_0=np.ones(3), keepme=np.zeros(2))
+    fixed = repair_npz_archive(
+        str(npz), key_map={"arr_0": "EmbeddingImportance-C0000001"}
+    )
+    with np.load(fixed) as archive:
+        assert set(archive.files) == {
+            "EmbeddingImportance-C0000001", "keepme",
+        }
+
+
 def test_registry_factory():
     from decagon_tpu import registry
     from decagon_tpu.train.active import (
