@@ -34,10 +34,13 @@ def main() -> None:
     n_se = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     impls = sys.argv[2].split(",") if len(sys.argv) > 2 else ["xla", "pallas"]
     chunk = 50
+    t0 = time.perf_counter()
     graph = make_polypharmacy_like_graph(
         n_proteins=2000, n_drugs=400, n_side_effects=n_se, seed=7
     )
+    print(f"# graph built ({time.perf_counter() - t0:.1f}s)", flush=True)
     splits = split_graph(graph, val_frac=0.05, test_frac=0.0, seed=1)
+    print(f"# splits done ({time.perf_counter() - t0:.1f}s)", flush=True)
 
     for impl in impls:
         t_build = time.perf_counter()
@@ -59,7 +62,13 @@ def main() -> None:
         while len(batches) < 3 * chunk:
             batches += list(trainer.scheduler.epoch())
 
-        trainer.train_chunk(batches[:chunk], chunk)  # warmup/compile
+        print(f"# [{impl}] device graph built ({build_s:.1f}s); compiling",
+              flush=True)
+        jax.block_until_ready(
+            trainer.train_chunk(batches[:chunk], chunk)
+        )  # warmup/compile
+        print(f"# [{impl}] compiled ({time.perf_counter() - t_build:.1f}s)",
+              flush=True)
         n_timed = 2 * chunk
         start = time.perf_counter()
         for i in range(chunk, chunk + n_timed, chunk):
