@@ -13,6 +13,11 @@ Parity spec: reference ``EdgeMinibatchIterator`` scheduling
   pool minus the fixed types (``minibatch.py:327-345``);
 * batches are fixed-size slices; the trailing partial batch is dropped
   (``minibatch.py:300-301``) — static shapes for the jitted step.
+  Divergence: a relation with fewer than ``batch_size`` train edges —
+  which would otherwise never train at all (the reference fed it as one
+  small dynamic-shape batch) — emits ONE wrap-padded fixed-size batch
+  (edges repeated cyclically from its shuffled list) per epoch slot, so
+  tiny graphs still learn under static shapes.
 
 The reference checks exhaustion with ``iter % 4`` even when the cycle
 period is 3 (``minibatch.py:304``), which misfiles free relations; the
@@ -109,14 +114,29 @@ class MinibatchScheduler:
 
             key = self.keys[idx]
             edges = self.train_edges[key]
+            n = edges.shape[0]
             start = self._cursor[idx] * self.batch_size
-            if start <= edges.shape[0] - self.batch_size:
+            if start <= n - self.batch_size:
+                self._cursor[idx] += 1
+                batch = edges[start : start + self.batch_size]
+                break
+            if 0 < n < self.batch_size:
+                # Relation smaller than one batch: emit ONE wrap-padded
+                # fixed-size batch (else it would never train — the
+                # reference fed it as a small dynamic batch,
+                # minibatch.py:300-301).
+                reps = -(-self.batch_size // n)  # ceil
+                batch = np.tile(edges, (reps, 1))[: self.batch_size]
+                if is_fixed:
+                    self._cursor[idx] = 0
+                else:
+                    self._free.remove(idx)
                 break
             if is_fixed:
                 self._cursor[idx] = 0
-                if edges.shape[0] < self.batch_size:
-                    # Fixed relation smaller than one batch: skip its slot
-                    # (the reference would spin forever here).
+                if n == 0:
+                    # Empty fixed relation: skip its slot (the reference
+                    # would spin forever here).
                     self._iter += 1
             else:
                 self._free.remove(idx)
@@ -124,8 +144,6 @@ class MinibatchScheduler:
                 return None
 
         self._iter += 1
-        self._cursor[idx] += 1
-        batch = edges[start : start + self.batch_size]
         return Minibatch(
             edge_type=key[:2],
             k=key[2],

@@ -52,11 +52,38 @@ def test_scheduler_round_robin(small_world):
         b for b in batches if (*b.edge_type, b.k) not in fixed
     ]
     expected = sum(
-        splits[key].train.shape[0] // 32
+        max(splits[key].train.shape[0] // 32,
+            1 if splits[key].train.shape[0] else 0)
         for key in splits
         if key not in fixed
     )
     assert len(free_batches) == expected
+
+
+def test_scheduler_tiny_relations_still_train():
+    # A graph whose relations all have fewer edges than batch_size must
+    # still yield (wrap-padded, static-shape) batches — the reference fed
+    # these as small dynamic batches; dropping them would silently train
+    # nothing (minibatch.py:300-301 divergence, documented in sampler.py).
+    graph = make_synthetic_graph(
+        n_genes=30, n_drugs=20, n_drugdrug_types=2, seed=0
+    )
+    splits = split_graph(graph, val_frac=0.1, test_frac=0.1, seed=1)
+    sched = MinibatchScheduler(graph, splits, batch_size=512, seed=0)
+    batches = list(sched.epoch())
+    assert batches, "tiny graph yielded no batches"
+    assert all(b.rows.shape == (512,) for b in batches)
+    for b in batches:
+        key = (*b.edge_type, b.k)
+        train = splits[key].train
+        pairs = {tuple(e) for e in train.tolist()}
+        got = set(zip(b.rows.tolist(), b.cols.tolist()))
+        assert got <= pairs  # only real train edges, wrapped
+        # A wrap-padded batch covers the whole (shuffled) relation.
+        if train.shape[0] < 512:
+            assert len(got) == train.shape[0]
+    # Second epoch still terminates and yields again (free pool refills).
+    assert list(sched.epoch())
 
 
 def test_scheduler_epoch_reshuffles(small_world):
