@@ -182,8 +182,11 @@ class Trainer:
         for i in range(0, len(batches), chunk_size):
             group = batches[i : i + chunk_size]
             start = time.perf_counter()
-            losses = np.asarray(self.train_chunk(group, chunk_size))
+            losses = self.train_chunk(group, chunk_size)
             if self.iteration_hook is not None:
+                # Materializing the losses synchronizes; skip it when
+                # nobody listens so chunk dispatches pipeline on device.
+                losses = np.asarray(losses)
                 latency = (time.perf_counter() - start) / len(group)
                 for batch, loss in zip(group, losses):
                     self.iteration_hook(
