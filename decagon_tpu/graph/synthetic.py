@@ -89,6 +89,24 @@ def make_synthetic_graph(
     return graph
 
 
+def _sample_unique_pairs(
+    rng: np.random.RandomState, n: int, size: int
+) -> np.ndarray:
+    """``size`` unique unordered (a != b) pairs over [0, n), vectorized."""
+    size = min(size, n * (n - 1) // 2)
+    out = np.empty((0,), dtype=np.int64)
+    while out.shape[0] < size:
+        need = size - out.shape[0]
+        a = rng.randint(0, n, size=2 * need + 16).astype(np.int64)
+        b = rng.randint(0, n, size=2 * need + 16).astype(np.int64)
+        mask = a != b
+        lo = np.minimum(a, b)[mask]
+        hi = np.maximum(a, b)[mask]
+        out = np.unique(np.concatenate([out, lo * n + hi]))
+    out = rng.permutation(out)[:size]
+    return np.stack([out // n, out % n], axis=1)
+
+
 def make_polypharmacy_like_graph(
     n_proteins: int = 2000,
     n_drugs: int = 400,
@@ -98,72 +116,95 @@ def make_polypharmacy_like_graph(
     with_transposes: bool = True,
     drug_decoder: str = "dedicom",
     other_decoder: str = "bilinear",
+    total_drugdrug_edges: Optional[int] = None,
+    ppi_attachment: int = 5,
+    mono_features: bool = False,
+    n_mono_side_effects: int = 0,
 ) -> RelationGraph:
     """A larger random graph shaped like the polypharmacy dataset.
 
     Used for throughput benchmarking at realistic sizes (BASELINE.json
     configs 2-4) when the public CSVs are unavailable; degree
     distributions are power-law-ish via preferential attachment.
+
+    At paper scale (Zitnik et al. 2018; reference README.md:9-27) pass
+    ``n_proteins=19081, n_drugs=645, n_side_effects=963,
+    min_edges_per_relation=500, total_drugdrug_edges=4_651_131,
+    ppi_attachment=37`` — 963 relations each with >=500 edges (the
+    reference's filter at ``DecagonPublicDataAdjacencyMatricesBuilder.py:
+    112-125``) and a Pareto-tailed size distribution like the real data.
     """
     rng = np.random.RandomState(seed)
 
-    ppi_graph = nx.barabasi_albert_graph(n_proteins, 5, seed=seed)
+    ppi_graph = nx.barabasi_albert_graph(n_proteins, ppi_attachment, seed=seed)
     ppi = Relation.from_scipy(nx.adjacency_matrix(ppi_graph), name="ppi")
 
-    # protein -> drug targets: each drug hits a handful of proteins.
+    # protein -> drug targets: each drug hits a handful of proteins
+    # (vectorized; duplicates collapsed).
     targets_per_drug = rng.randint(1, 12, size=n_drugs)
-    dp_rows, dp_cols = [], []
-    for d in range(n_drugs):
-        prots = rng.choice(n_proteins, size=targets_per_drug[d], replace=False)
-        dp_rows.extend(prots)
-        dp_cols.extend([d] * len(prots))
+    dp_cols = np.repeat(np.arange(n_drugs), targets_per_drug)
+    dp_rows = rng.randint(0, n_proteins, size=dp_cols.shape[0])
+    dp = np.unique(dp_rows * n_drugs + dp_cols)
     prot_drug = Relation(
-        rows=np.array(dp_rows), cols=np.array(dp_cols),
+        rows=dp // n_drugs, cols=dp % n_drugs,
         shape=(n_proteins, n_drugs), name="protein_drug",
     )
 
-    # Side-effect relations with log-spread sizes (>= min_edges_per_relation,
-    # mirroring the reference's >=500-edge filter on the real data).
-    drug_rels = []
-    max_edges = max(min_edges_per_relation + 1, (n_drugs * (n_drugs - 1)) // 8)
-    sizes = np.unique(
-        np.round(
-            np.exp(
-                rng.uniform(
-                    np.log(min_edges_per_relation), np.log(max_edges),
-                    size=n_side_effects,
+    # Side-effect relation sizes (>= min_edges_per_relation, mirroring the
+    # reference's >=500-edge filter).  With total_drugdrug_edges set, a
+    # Pareto tail over the floor is rescaled so undirected-pair counts sum
+    # to the target (the real data: 4.65M edge instances over 963
+    # relations, most near the 500 floor with a heavy tail).
+    max_pairs = n_drugs * (n_drugs - 1) // 2
+    if total_drugdrug_edges is not None:
+        floor = min_edges_per_relation // 2  # pairs (each pair = 2 edges)
+        target_pairs = total_drugdrug_edges // 2
+        tail = rng.pareto(1.3, size=n_side_effects)
+        extra = target_pairs - n_side_effects * floor
+        tail = tail / max(tail.sum(), 1e-9) * max(extra, 0)
+        sizes = np.minimum(
+            (floor + tail).astype(np.int64), max_pairs
+        )
+    else:
+        max_edges = max(
+            min_edges_per_relation + 1, (n_drugs * (n_drugs - 1)) // 8
+        )
+        sizes = np.unique(
+            np.round(
+                np.exp(
+                    rng.uniform(
+                        np.log(min_edges_per_relation), np.log(max_edges),
+                        size=n_side_effects,
+                    )
                 )
-            )
-        ).astype(int)
-    )
-    sizes = rng.choice(sizes, size=n_side_effects, replace=True)
+            ).astype(int)
+        )
+        sizes = rng.choice(sizes, size=n_side_effects, replace=True)
+    drug_rels = []
     for s, size in enumerate(sizes):
-        upper = np.empty((size, 2), dtype=np.int64)
-        seen = set()
-        filled = 0
-        while filled < size:
-            a, b = rng.randint(0, n_drugs, size=2)
-            if a == b:
-                continue
-            key = (min(a, b), max(a, b))
-            if key in seen:
-                continue
-            seen.add(key)
-            upper[filled] = key
-            filled += 1
+        upper = _sample_unique_pairs(rng, n_drugs, int(size))
         rows = np.concatenate([upper[:, 0], upper[:, 1]])
         cols = np.concatenate([upper[:, 1], upper[:, 0]])
         drug_rels.append(
             Relation(rows=rows, cols=cols, shape=(n_drugs, n_drugs), name=f"se_{s}")
         )
 
+    if mono_features and n_mono_side_effects > 0:
+        # Binary drug x mono-side-effect matrix like the real
+        # bio-decagon-mono.csv features (~10% fill).
+        mono = (rng.rand(n_drugs, n_mono_side_effects) < 0.1).astype(
+            np.float32
+        )
+        drug_features = NodeFeatures.from_dense(mono)
+    else:
+        drug_features = NodeFeatures.identity(n_drugs)
     graph = RelationGraph(
         node_type_names=("protein", "drug"),
         num_nodes=(n_proteins, n_drugs),
         relations={(0, 0): [ppi], (0, 1): [prot_drug], (1, 1): drug_rels},
         features={
             0: NodeFeatures.identity(n_proteins),
-            1: NodeFeatures.identity(n_drugs),
+            1: drug_features,
         },
         decoders={
             (0, 0): other_decoder,

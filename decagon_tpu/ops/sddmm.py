@@ -30,18 +30,27 @@ def sddmm_pairs(
     """Batched bilinear edge scores.
 
     z_rows, z_cols: [B, d] gathered endpoint embeddings.
-    glb: optional [d, d] full interaction matrix.
-    glb_diag: optional [d] diagonal interaction (DistMult).
-    loc_diag: optional [d] per-relation local diagonal (DEDICOM).
+    glb: optional [d, d] full interaction matrix, or [B, d, d] per-edge
+        (multi-relation batches: ``relation[k_e]`` gathered per edge).
+    glb_diag: optional [d] or per-edge [B, d] diagonal interaction
+        (DistMult).
+    loc_diag: optional [d] or per-edge [B, d] local diagonal (DEDICOM).
     Returns [B] scores (logits; no sigmoid).
     """
     left = z_rows
     right = z_cols
     if loc_diag is not None:
-        left = left * loc_diag[None, :]
-        right = right * loc_diag[None, :]
+        ld = loc_diag if loc_diag.ndim == 2 else loc_diag[None, :]
+        left = left * ld
+        right = right * ld
     if glb is not None:
-        left = jnp.dot(left, glb, preferred_element_type=jnp.float32)
+        if glb.ndim == 3:
+            left = jnp.einsum(
+                "bd,bde->be", left, glb, preferred_element_type=jnp.float32
+            )
+        else:
+            left = jnp.dot(left, glb, preferred_element_type=jnp.float32)
     elif glb_diag is not None:
-        left = left * glb_diag[None, :]
+        gd = glb_diag if glb_diag.ndim == 2 else glb_diag[None, :]
+        left = left * gd
     return jnp.sum(left * right, axis=-1)

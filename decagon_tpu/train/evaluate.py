@@ -25,7 +25,7 @@ from decagon_tpu.graph.container import RelationGraph, RelationKey
 from decagon_tpu.graph.split import EdgeSplit
 from decagon_tpu.graph.device import DeviceGraph
 from decagon_tpu.models.model import DecagonModel
-from decagon_tpu.train.step import make_eval_scores
+from decagon_tpu.train.step import make_embed_fn, make_emb_scores
 
 
 @dataclasses.dataclass
@@ -89,7 +89,14 @@ def compute_scores(
 
 
 class AccuracyEvaluator:
-    """Scores held-out edges for any relation with compiled edge scorers."""
+    """Scores held-out edges with ONE encoder forward per evaluation.
+
+    The encoder runs once (``make_embed_fn``); every relation's padded
+    holdout batch is then scored through a per-edge-type compiled SDDMM
+    scorer carrying a per-edge relation index (``make_emb_scores``) — so
+    ``evaluate_all_drug_drug`` over 963 relations costs one full-graph
+    forward plus one flat scoring dispatch per polarity, not 963 forwards.
+    """
 
     def __init__(
         self,
@@ -103,13 +110,57 @@ class AccuracyEvaluator:
         self.splits = splits
         self.apk_k = apk_k
         self.pad_multiple = pad_multiple
+        self._embed = make_embed_fn(model)
         self._score_fns = {
-            et: make_eval_scores(model, et) for et in graph.edge_types
+            et: make_emb_scores(model, et) for et in graph.edge_types
         }
         self._drug_drug = max(
             (et for et in graph.edge_types if et[0] == et[1]),
             default=None,
         )
+
+    def embeddings(self, params, device_graph: DeviceGraph):
+        """One deterministic full-graph forward (device arrays)."""
+        return self._embed(params, device_graph)
+
+    def _probs_flat(
+        self,
+        params,
+        embeddings,
+        edge_type: Tuple[int, int],
+        batches: List[Tuple[int, np.ndarray]],
+    ) -> List[np.ndarray]:
+        """Score many relations' edge lists in one padded dispatch.
+
+        ``batches``: [(k, edges[N,2])]; returns per-entry prob arrays in
+        the same order."""
+        counts = [e.shape[0] for _, e in batches]
+        total = sum(counts)
+        if total == 0:
+            return [np.empty((0,), np.float32) for _ in batches]
+        padded = (
+            (total + self.pad_multiple - 1) // self.pad_multiple
+        ) * self.pad_multiple
+        ks = np.zeros(padded, dtype=np.int32)
+        rows = np.zeros(padded, dtype=np.int32)
+        cols = np.zeros(padded, dtype=np.int32)
+        at = 0
+        for k, edges in batches:
+            n = edges.shape[0]
+            if n:
+                ks[at : at + n] = k
+                rows[at : at + n] = edges[:, 0]
+                cols[at : at + n] = edges[:, 1]
+            at += n
+        probs = np.asarray(
+            self._score_fns[edge_type](params, embeddings, ks, rows, cols)
+        )
+        out = []
+        at = 0
+        for n in counts:
+            out.append(probs[at : at + n])
+            at += n
+        return out
 
     def _probs(
         self,
@@ -117,22 +168,16 @@ class AccuracyEvaluator:
         device_graph: DeviceGraph,
         key: RelationKey,
         edges: np.ndarray,
+        embeddings=None,
     ) -> np.ndarray:
         if edges.size == 0:
             return np.empty((0,), dtype=np.float32)
-        i, j, k = key
-        count = edges.shape[0]
-        padded = (
-            (count + self.pad_multiple - 1) // self.pad_multiple
-        ) * self.pad_multiple
-        rows = np.zeros(padded, dtype=np.int32)
-        cols = np.zeros(padded, dtype=np.int32)
-        rows[:count] = edges[:, 0]
-        cols[:count] = edges[:, 1]
-        probs = self._score_fns[(i, j)](
-            params, device_graph, k, rows, cols
+        if embeddings is None:
+            embeddings = self._embed(params, device_graph)
+        (probs,) = self._probs_flat(
+            params, embeddings, key[:2], [(key[2], edges)]
         )
-        return np.asarray(probs)[:count]
+        return probs
 
     def evaluate(
         self,
@@ -140,33 +185,45 @@ class AccuracyEvaluator:
         device_graph: DeviceGraph,
         key: RelationKey,
         use_test: bool = False,
+        embeddings=None,
     ) -> AccuracyScores:
         split = self.splits[key]
         pos = split.test if use_test else split.val
         neg = split.test_false if use_test else split.val_false
-        return compute_scores(
-            self._probs(params, device_graph, key, pos),
-            self._probs(params, device_graph, key, neg),
-            apk_k=self.apk_k,
+        if embeddings is None:
+            embeddings = self._embed(params, device_graph)
+        pos_p, neg_p = self._probs_flat(
+            params, embeddings, key[:2], [(key[2], pos), (key[2], neg)]
         )
+        return compute_scores(pos_p, neg_p, apk_k=self.apk_k)
 
     def evaluate_all_drug_drug(
-        self, params, device_graph: DeviceGraph, use_test: bool = False
+        self,
+        params,
+        device_graph: DeviceGraph,
+        use_test: bool = False,
+        embeddings=None,
     ) -> AccuracyScores:
         """Pooled scores over every drug-drug relation (reference
         ``evaluateAll``, ``DecagonAccuracyEvaluator.py:57-91``)."""
         if self._drug_drug is None:
             raise ValueError("graph has no square drug-drug edge type")
-        pos_parts: List[np.ndarray] = []
-        neg_parts: List[np.ndarray] = []
+        if embeddings is None:
+            embeddings = self._embed(params, device_graph)
         i, j = self._drug_drug
+        pos_batches: List[Tuple[int, np.ndarray]] = []
+        neg_batches: List[Tuple[int, np.ndarray]] = []
         for key, split in self.splits.items():
             if key[:2] != (i, j):
                 continue
-            pos = split.test if use_test else split.val
-            neg = split.test_false if use_test else split.val_false
-            pos_parts.append(self._probs(params, device_graph, key, pos))
-            neg_parts.append(self._probs(params, device_graph, key, neg))
+            pos_batches.append(
+                (key[2], split.test if use_test else split.val)
+            )
+            neg_batches.append(
+                (key[2], split.test_false if use_test else split.val_false)
+            )
+        pos_parts = self._probs_flat(params, embeddings, (i, j), pos_batches)
+        neg_parts = self._probs_flat(params, embeddings, (i, j), neg_batches)
         return compute_scores(
             np.concatenate(pos_parts) if pos_parts else np.empty(0),
             np.concatenate(neg_parts) if neg_parts else np.empty(0),

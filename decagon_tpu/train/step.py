@@ -209,6 +209,11 @@ def make_eval_scores(
     ``scores(params, graph, k, rows, cols) -> sigmoid probabilities`` —
     feed padded fixed-size index arrays and trim host-side (eval-set
     sizes vary per relation; padding keeps compilation static).
+
+    Note: this recomputes the full encoder forward per call.  Evaluation
+    over many relations should compute embeddings ONCE via
+    ``make_embed_fn`` and score through ``make_emb_scores`` instead
+    (``AccuracyEvaluator`` does).
     """
 
     @jax.jit
@@ -217,6 +222,46 @@ def make_eval_scores(
         logits = model.score_edges(
             params, graph, embeddings, edge_type, k, rows, cols,
             deterministic=True,
+        )
+        return jax.nn.sigmoid(logits)
+
+    return scores
+
+
+def make_embed_fn(model: DecagonModel) -> Callable:
+    """Jitted deterministic full-graph encoder forward:
+    ``embed(params, graph) -> {"0": [N_0, H2], ...}``."""
+
+    @jax.jit
+    def embed(params, graph: DeviceGraph):
+        return model.embeddings(params, graph, deterministic=True)
+
+    return embed
+
+
+def make_emb_scores(model: DecagonModel, edge_type: EdgeType) -> Callable:
+    """Jitted deterministic scorer over PRECOMPUTED embeddings with a
+    per-edge relation index: ``scores(params, embeddings, ks[B], rows[B],
+    cols[B]) -> sigmoid probabilities [B]``.
+
+    ONE dispatch scores held-out batches spanning MANY relations of the
+    edge type — the encoder runs once per evaluation instead of once per
+    relation (the reference recomputed a dense per-relation
+    ``predictions`` matrix each time, ``DecagonAccuracyEvaluator.py:
+    57-91``; sampled scoring keeps the semantics on the scored entries).
+    """
+    from decagon_tpu.models import decoders as dec
+
+    name = model.graph_meta.decoder_name(edge_type)
+    et_key = etkey(edge_type)
+    row_t, col_t = str(edge_type[0]), str(edge_type[1])
+
+    @jax.jit
+    def scores(params, embeddings, ks, rows, cols):
+        z_rows = embeddings[row_t][rows]
+        z_cols = embeddings[col_t][cols]
+        logits = dec.score_edges(
+            params["dec"][et_key], name, ks, z_rows, z_cols
         )
         return jax.nn.sigmoid(logits)
 
