@@ -38,6 +38,34 @@ from decagon_tpu.train.logger import MetricsLogger
 from decagon_tpu.train.trainer import Trainer
 
 
+def _side_effect_subset(config: Config):
+    """``SideEffectSubset`` config -> relation allowlist (or None).
+
+    Accepts a named variant ("neutropenia" / "hyperglycaemia" /
+    "anosmia" — the reference's per-side-effect AdjMtxBuilder
+    subclasses, ``NeutropeniaAdjMtxBuilder.py:5-11`` etc.), a single
+    relation id, or a list of either."""
+    from decagon_tpu.data.public import NAMED_SIDE_EFFECTS
+
+    raw = config.get("SideEffectSubset", None)
+    if raw is None:
+        return None
+    items = raw if isinstance(raw, (list, tuple)) else [raw]
+    subset = set()
+    for item in items:
+        if isinstance(item, str) and not item.isdigit():
+            try:
+                subset.add(NAMED_SIDE_EFFECTS[item.lower()])
+            except KeyError:
+                raise ValueError(
+                    f"unknown side-effect name {item!r}; known: "
+                    f"{sorted(NAMED_SIDE_EFFECTS)} (or pass relation ids)"
+                )
+        else:
+            subset.add(int(item))
+    return subset
+
+
 def build_dataset(config: Config):
     """Returns (graph_without_transposes, protein_ids, drug_ids, names)."""
     dataset_type = config.get("DataSetType", "DecagonDummyData")
@@ -52,6 +80,7 @@ def build_dataset(config: Config):
                 else None
             ),
             min_edges_per_relation=int(config.get("MinEdgesPerRelation", 500)),
+            relation_allowlist=_side_effect_subset(config),
             drug_decoder=config.get("DrugDrugEdgeDecoder", "dedicom"),
             other_decoder=config.get("PPIEdgeDecoder", "bilinear"),
             with_transposes=False,
@@ -133,6 +162,7 @@ def train_once(
         print(f"recorded held-out edges -> {path}")
 
     import jax
+    import jax.numpy as jnp
 
     device_graph = build_device_graph(
         full, splits,
@@ -143,8 +173,30 @@ def train_once(
                 and jax.default_backend() != "cpu"
             )
         ),
+        densify_max_cells=int(config.get("DensifyMaxCells", 8_000_000)),
+        dense_dtype=(
+            jnp.bfloat16
+            if str(config.get("DenseDtype", "f32")) in ("bf16", "bfloat16")
+            else np.float32
+        ),
     )
     model = DecagonModel(model_cfg, device_graph)
+
+    # Multi-chip: "MeshShape": [rows, edge_shards] partitions the
+    # adjacency over a (row, edge) mesh (decagon_tpu.parallel); with
+    # "DistributedInit": true the trainer first initializes
+    # jax.distributed for a multi-host slice.
+    mesh = None
+    if config.has("MeshShape"):
+        from decagon_tpu.parallel.mesh import initialize_distributed, make_mesh
+
+        if bool(config.get("DistributedInit", False)):
+            initialize_distributed()
+        shape = config.get("MeshShape")
+        mesh = make_mesh(
+            shape=tuple(int(x) for x in shape),
+            multihost=bool(config.get("MultiHostMesh", False)),
+        )
 
     checkpointer = None
     if bool(config.get("ShouldCheckpoint", False)):
@@ -154,8 +206,12 @@ def train_once(
             every_n_iterations=int(config.get("NumIterationsPerCheckpoint", 1)),
         )
 
+    trainer = Trainer(
+        model, full, splits, device_graph, train_cfg, seed=seed, mesh=mesh
+    )
     evaluator = AccuracyEvaluator(
-        model, full, splits, apk_k=int(config.get("ApkRank", 50))
+        model, full, splits, apk_k=int(config.get("ApkRank", 50)),
+        embed_fn=trainer.embed_fn,
     )
     logger = MetricsLogger(
         evaluator,
@@ -171,10 +227,8 @@ def train_once(
         relation_names=relation_names,
     )
 
-    trainer = Trainer(
-        model, full, splits, device_graph, train_cfg, seed=seed,
-        iteration_hook=logger.on_iteration, epoch_hook=logger.on_epoch_end,
-    )
+    trainer.iteration_hook = logger.on_iteration
+    trainer.epoch_hook = logger.on_epoch_end
     if checkpointer is not None and bool(
         config.get("ResumeFromCheckpoint", False)
     ):
@@ -194,7 +248,7 @@ def train_once(
 
         def scorer(k: int, edges: np.ndarray) -> np.ndarray:
             return evaluator._probs(
-                trainer.params, device_graph, (1, 1, k), edges
+                trainer.params, trainer.device_graph, (1, 1, k), edges
             )
 
         learner.scorer = scorer

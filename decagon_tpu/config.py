@@ -78,6 +78,7 @@ class Config:
             hidden2=int(self.get("hidden2", 32)),
             dropout=float(self.get("dropout", 0.1)),
             spmm_impl=str(self.get("SpmmImpl", "auto")),
+            spmm_precision=str(self.get("SpmmPrecision", "highest")),
         )
 
     def train_config(self) -> TrainConfig:

@@ -179,9 +179,13 @@ def load_public_dataset(
     drug_relations: List[Relation] = []
     for i, rel_id in enumerate(rel_ids):
         edges = rel_sorted[rel_bounds[i]:rel_bounds[i + 1]]
-        if len(edges) < min_edges_per_relation:
-            continue
-        if relation_allowlist is not None and rel_id not in relation_allowlist:
+        if relation_allowlist is not None:
+            # Per-side-effect variants select by ID *instead of* the
+            # >=500-edge filter (the reference subclasses replace
+            # _filterEdgeSets outright, NeutropeniaAdjMtxBuilder.py:5-11).
+            if int(rel_id) not in relation_allowlist:
+                continue
+        elif len(edges) < min_edges_per_relation:
             continue
         drug_relations.append(
             symmetric_relation(

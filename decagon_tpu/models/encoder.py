@@ -130,6 +130,7 @@ def encode(
     spmm_impl: str = "xla",
     per_relation_dropout_max: int = 64,
     axis_name: Optional[str] = None,
+    spmm_precision: str = "highest",
 ) -> Dict[str, jax.Array]:
     """Node embeddings per type: {"0": [N_0, H2], "1": [N_1, H2], ...}.
 
@@ -220,6 +221,7 @@ def encode(
                 agg = spmm(
                     p_stack, graph.adj[key],
                     impl=_resolve_impl(graph.adj[key]),
+                    precision=spmm_precision,
                 )
                 if axis_name is not None:
                     from decagon_tpu.parallel.collectives import all_reduce_sum
@@ -264,6 +266,7 @@ def encode(
             t_global = spmm_pallas_flat(
                 p_global, fa,
                 interpret=spmm_impl == "fused_pallas_interpret",
+                precision=spmm_precision,
             )
         else:
             msgs = p_global[fa.src] * fa.vals[:, None]

@@ -33,9 +33,14 @@ class ModelConfig:
     hidden2: int = 32
     dropout: float = 0.1
     per_relation_dropout_max: int = 64
-    # "auto" resolves to the Pallas tiled kernel when the device graph
-    # carries tilings and the backend is an accelerator; XLA otherwise.
+    # "auto" resolves per edge type: dense MXU matmul where the device
+    # graph carries a dense stack, the Pallas tiled kernel where it
+    # carries tilings (accelerator backends), XLA segment-sum otherwise.
     spmm_impl: str = "auto"
+    # MXU pass precision for the Pallas kernel: "highest" (fp32
+    # decomposition) or "default" (single-pass bf16, ~2x faster,
+    # fp32 accumulation).
+    spmm_precision: str = "highest"
 
 
 class DecagonModel:
@@ -84,6 +89,7 @@ class DecagonModel:
             spmm_impl=self.config.spmm_impl,
             per_relation_dropout_max=self.config.per_relation_dropout_max,
             axis_name=axis_name,
+            spmm_precision=self.config.spmm_precision,
         )
 
     def score_edges(

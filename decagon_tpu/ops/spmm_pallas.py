@@ -174,27 +174,44 @@ def spmm_tiled(
     )(tiles.row_ptr, tiles.src_block, tiles.packed, p_flat)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+_PRECISIONS = {
+    # fp32 MXU passes (exact-ish; 6-pass decomposition) vs single-pass
+    # bf16 (2x+ faster on the compute-bound one-hot matmuls; values and
+    # features rounded to bf16, accumulation stays fp32).
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _spmm_pallas_op(
     p_stack: jax.Array,
     tiles_fwd: TiledEdges,
     tiles_bwd: TiledEdges,
     n_rows: int,
     interpret: bool,
+    precision: str,
 ) -> jax.Array:
     k, n, h = p_stack.shape
-    out = spmm_tiled(p_stack.reshape(k * n, h), tiles_fwd, interpret)
+    out = spmm_tiled(
+        p_stack.reshape(k * n, h), tiles_fwd, interpret,
+        precision=_PRECISIONS[precision],
+    )
     return out[:n_rows, :h]
 
 
-def _fwd(p_stack, tiles_fwd, tiles_bwd, n_rows, interpret):
-    out = _spmm_pallas_op(p_stack, tiles_fwd, tiles_bwd, n_rows, interpret)
+def _fwd(p_stack, tiles_fwd, tiles_bwd, n_rows, interpret, precision):
+    out = _spmm_pallas_op(
+        p_stack, tiles_fwd, tiles_bwd, n_rows, interpret, precision
+    )
     return out, (tiles_bwd, p_stack.shape)
 
 
-def _bwd(n_rows, interpret, residuals, ct):
+def _bwd(n_rows, interpret, precision, residuals, ct):
     tiles_bwd, (k, n, h) = residuals
-    d_flat = spmm_tiled(ct, tiles_bwd, interpret)  # [K*N padded, Hpad]
+    d_flat = spmm_tiled(
+        ct, tiles_bwd, interpret, precision=_PRECISIONS[precision]
+    )  # [K*N padded, Hpad]
     d_p = d_flat[: k * n, :h].reshape(k, n, h)
     # Cotangents for the (integer) tile structures are structural zeros.
     return (d_p, None, None)
@@ -203,27 +220,34 @@ def _bwd(n_rows, interpret, residuals, ct):
 _spmm_pallas_op.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _spmm_pallas_flat_op(
     p_flat: jax.Array,
     tiles_fwd: TiledEdges,
     tiles_bwd: TiledEdges,
     n_rows: int,
     interpret: bool,
+    precision: str,
 ) -> jax.Array:
     _, h = p_flat.shape
-    out = spmm_tiled(p_flat, tiles_fwd, interpret)
+    out = spmm_tiled(
+        p_flat, tiles_fwd, interpret, precision=_PRECISIONS[precision]
+    )
     return out[:n_rows, :h]
 
 
-def _flat_fwd(p_flat, tiles_fwd, tiles_bwd, n_rows, interpret):
-    out = _spmm_pallas_flat_op(p_flat, tiles_fwd, tiles_bwd, n_rows, interpret)
+def _flat_fwd(p_flat, tiles_fwd, tiles_bwd, n_rows, interpret, precision):
+    out = _spmm_pallas_flat_op(
+        p_flat, tiles_fwd, tiles_bwd, n_rows, interpret, precision
+    )
     return out, (tiles_bwd, p_flat.shape)
 
 
-def _flat_bwd(n_rows, interpret, residuals, ct):
+def _flat_bwd(n_rows, interpret, precision, residuals, ct):
     tiles_bwd, (m, h) = residuals
-    d_flat = spmm_tiled(ct, tiles_bwd, interpret)
+    d_flat = spmm_tiled(
+        ct, tiles_bwd, interpret, precision=_PRECISIONS[precision]
+    )
     return (d_flat[:m, :h], None, None)
 
 
@@ -231,7 +255,10 @@ _spmm_pallas_flat_op.defvjp(_flat_fwd, _flat_bwd)
 
 
 def spmm_pallas_flat(
-    p_flat: jax.Array, fused, interpret: bool = False
+    p_flat: jax.Array,
+    fused,
+    interpret: bool = False,
+    precision: str = "highest",
 ) -> jax.Array:
     """Fused-stream SpMM via the tiled Pallas kernel: scatter the global
     projected table ``p_flat [n_p_rows, H]`` into the term space
@@ -243,11 +270,17 @@ def spmm_pallas_flat(
             "tile_for_pallas=True to use the fused Pallas SpMM"
         )
     return _spmm_pallas_flat_op(
-        p_flat, fused.tiles_fwd, fused.tiles_bwd, fused.n_t_rows, interpret
+        p_flat, fused.tiles_fwd, fused.tiles_bwd, fused.n_t_rows,
+        interpret, precision,
     )
 
 
-def spmm_pallas(p_stack: jax.Array, adj, interpret: bool = False) -> jax.Array:
+def spmm_pallas(
+    p_stack: jax.Array,
+    adj,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> jax.Array:
     """SpMM via the tiled Pallas kernel; ``adj`` must carry tilings
     (``EdgeTypeAdj.tiles_fwd`` / ``tiles_bwd`` from
     ``build_device_graph(..., tile_for_pallas=True)``)."""
@@ -257,5 +290,5 @@ def spmm_pallas(p_stack: jax.Array, adj, interpret: bool = False) -> jax.Array:
             "tile_for_pallas=True to use the Pallas SpMM"
         )
     return _spmm_pallas_op(
-        p_stack, adj.tiles_fwd, adj.tiles_bwd, adj.n_rows, interpret
+        p_stack, adj.tiles_fwd, adj.tiles_bwd, adj.n_rows, interpret, precision
     )

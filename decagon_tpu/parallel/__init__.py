@@ -1,8 +1,18 @@
-"""Multi-chip scaling: device meshes, sharded graphs, sharded train steps."""
+"""Multi-chip scaling: (row, edge) device meshes, sharded graphs,
+sharded train/eval steps, multi-host init."""
 
 from decagon_tpu.parallel.mesh import (  # noqa: F401
-    graph_pspecs,
+    AXES,
+    initialize_distributed,
     make_mesh,
-    shard_device_graph,
 )
-from decagon_tpu.parallel.sharded import make_sharded_train_step  # noqa: F401
+from decagon_tpu.parallel.rowshard import (  # noqa: F401
+    ShardedGraph,
+    build_sharded_device_graph,
+    sharded_pspecs,
+)
+from decagon_tpu.parallel.sharded import (  # noqa: F401
+    encode_sharded,
+    make_sharded_embed_fn,
+    make_sharded_train_step,
+)

@@ -1,148 +1,90 @@
-"""Device meshes and sharded placement of the device graph.
+"""Device meshes + multi-host initialization.
 
-Parallelism design (new — the reference is strictly single-process,
-SURVEY.md §2.9): one mesh axis partitions *edges* of every relation
-across devices.  Each device owns an equal slice of the flattened edge
-stream of every edge type (padding edges carry zero values, so any
-slicing is correct); node embeddings and parameters are replicated; the
-per-edge-type aggregation is completed with a psum over the axis.  The
-decoder batch is sharded over the same axis (data parallelism over
-sampled edges), making one step's math identical to single-chip.
+The framework's mesh has two named axes (see
+``decagon_tpu.parallel.rowshard``):
+
+* ``row``  — destination-node row blocks (the cross-host / DCN axis),
+* ``edge`` — edge shards / dense relation splits within a row block
+  (the intra-host / ICI axis).
+
+``make_mesh(n)`` builds the single-host (1, n) mesh; ``make_mesh(shape=
+(nr, ne))`` a 2D one.  On a multi-host slice call ``initialize_
+distributed()`` first (``jax.distributed``), then ``make_mesh(shape=...,
+multihost=True)`` lays the ``row`` axis across hosts so the per-layer
+all_gather rides DCN exactly once per row block while psum stays on ICI.
 """
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Optional
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from decagon_tpu.graph.device import DeviceGraph, EdgeTypeAdj, FusedAdj
+from decagon_tpu.parallel.rowshard import (  # noqa: F401 (re-exports)
+    AXES,
+    ShardedGraph,
+    build_sharded_device_graph,
+    sharded_pspecs,
+)
 
-
-def make_mesh(n_devices: Optional[int] = None, axis: str = "edge") -> Mesh:
-    devices = jax.devices()
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (axis,))
-
-
-def graph_pspecs(graph: DeviceGraph, axis: str = "edge") -> DeviceGraph:
-    """A DeviceGraph-shaped pytree of PartitionSpecs: edge streams sharded
-    along ``axis``, features / CDFs replicated."""
-    adj = {
-        key: EdgeTypeAdj(
-            senders=P(axis),
-            receivers=P(axis),
-            rel=P(axis),
-            vals=P(axis),
-            # Pallas tilings are single-device structures; the sharded
-            # path uses the XLA SpMM over per-device edge slices.
-            tiles_fwd=None,
-            tiles_bwd=None,
-            dense=None,
-            num_rel=a.num_rel,
-            n_rows=a.n_rows,
-            n_cols=a.n_cols,
-        )
-        for key, a in graph.adj.items()
-    }
-    features = {
-        key: (None if feat is None else P())
-        for key, feat in graph.features.items()
-    }
-    neg_cdf = {key: P() for key in graph.neg_cdf}
-    fused = None
-    if graph.fused is not None:
-        fused = FusedAdj(
-            src=P(axis),
-            dst=P(axis),
-            vals=P(axis),
-            tiles_fwd=None,
-            tiles_bwd=None,
-            layout=graph.fused.layout,
-            terms=graph.fused.terms,
-            n_p_rows=graph.fused.n_p_rows,
-            n_t_rows=graph.fused.n_t_rows,
-        )
-    return DeviceGraph(
-        adj=adj,
-        features=features,
-        neg_cdf=neg_cdf,
-        fused=fused,
-        num_nodes=graph.num_nodes,
-        feature_dims=graph.feature_dims,
-        decoders=graph.decoders,
-    )
+_distributed_initialized = False
 
 
-def shard_device_graph(
-    graph: DeviceGraph, mesh: Mesh, axis: str = "edge"
-) -> DeviceGraph:
-    """Place the graph on the mesh: edge arrays sharded, rest replicated.
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize ``jax.distributed`` for a multi-host run (idempotent).
 
-    Edge streams are re-padded so every per-edge-type stream length
-    divides the axis size (zero-valued padding edges are inert).
+    With no arguments JAX auto-detects the TPU pod-slice topology from
+    the environment; pass explicit values for CPU/GPU multi-process
+    simulation.  Safe to call on a single host (no-op on failure to
+    detect peers is surfaced, not swallowed)."""
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axes: Sequence[str] = AXES,
+    shape: Optional[Tuple[int, int]] = None,
+    multihost: bool = False,
+) -> Mesh:
+    """Build the (row, edge) mesh.
+
+    ``make_mesh(8)`` -> 1 x 8 (pure edge sharding); ``make_mesh(shape=
+    (2, 4))`` -> 2 row blocks x 4 edge shards.  ``multihost=True`` uses
+    ``mesh_utils.create_hybrid_device_mesh`` so the row axis strides
+    across processes (DCN) and the edge axis stays within a host (ICI).
     """
-    n = mesh.shape[axis]
+    if shape is None:
+        n = n_devices if n_devices is not None else len(jax.devices())
+        shape = (1, n)
+    if multihost:
+        from jax.experimental import mesh_utils
 
-    def pad_to(arr: jax.Array, length: int) -> np.ndarray:
-        host = np.asarray(arr)
-        if host.shape[0] == length:
-            return host
-        pad = np.zeros((length - host.shape[0],) + host.shape[1:], host.dtype)
-        return np.concatenate([host, pad])
-
-    adj = {}
-    for key, a in graph.adj.items():
-        e = a.vals.shape[0]
-        e_pad = ((e + n - 1) // n) * n
-        sharding = NamedSharding(mesh, P(axis))
-        adj[key] = EdgeTypeAdj(
-            senders=jax.device_put(pad_to(a.senders, e_pad), sharding),
-            receivers=jax.device_put(pad_to(a.receivers, e_pad), sharding),
-            rel=jax.device_put(pad_to(a.rel, e_pad), sharding),
-            vals=jax.device_put(pad_to(a.vals, e_pad), sharding),
-            tiles_fwd=None,
-            tiles_bwd=None,
-            dense=None,
-            num_rel=a.num_rel,
-            n_rows=a.n_rows,
-            n_cols=a.n_cols,
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1, shape[1]),
+            dcn_mesh_shape=(shape[0], 1),
         )
-    replicated = NamedSharding(mesh, P())
-    features = {
-        key: (None if f is None else jax.device_put(f, replicated))
-        for key, f in graph.features.items()
-    }
-    neg_cdf = {
-        key: jax.device_put(c, replicated) for key, c in graph.neg_cdf.items()
-    }
-    fused = None
-    if graph.fused is not None:
-        f = graph.fused
-        e = f.vals.shape[0]
-        e_pad = ((e + n - 1) // n) * n
-        sharding = NamedSharding(mesh, P(axis))
-        fused = FusedAdj(
-            src=jax.device_put(pad_to(f.src, e_pad), sharding),
-            dst=jax.device_put(pad_to(f.dst, e_pad), sharding),
-            vals=jax.device_put(pad_to(f.vals, e_pad), sharding),
-            tiles_fwd=None,
-            tiles_bwd=None,
-            layout=f.layout,
-            terms=f.terms,
-            n_p_rows=f.n_p_rows,
-            n_t_rows=f.n_t_rows,
+        return Mesh(devices, tuple(axes))
+    devices = jax.devices()
+    need = shape[0] * shape[1]
+    if len(devices) < need:
+        raise ValueError(
+            f"mesh shape {shape} needs {need} devices, have {len(devices)}"
         )
-    return DeviceGraph(
-        adj=adj,
-        features=features,
-        neg_cdf=neg_cdf,
-        fused=fused,
-        num_nodes=graph.num_nodes,
-        feature_dims=graph.feature_dims,
-        decoders=graph.decoders,
-    )
+    return Mesh(np.asarray(devices[:need]).reshape(shape), tuple(axes))

@@ -47,13 +47,20 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
 
 class PredictionsInfo:
     """Loads the artifact set once: embeddings, global interaction,
-    held-out edge dict (from the recorded CSV), train-edge complement."""
+    held-out edge dict (from the recorded CSV), train-edge complement.
+
+    ``graph``: optional ``RelationGraph`` of the same dataset — when
+    given, ``train_edges`` labels the all-pairs-minus-heldout complement
+    from the drug-drug adjacencies exactly as the reference does (it
+    rebuilds the matrices via its AdjacencyMatricesBuilder,
+    ``NpPredictor.py:97-141``)."""
 
     def __init__(
         self,
         artifact_dir: str,
         test_edge_csv: str,
         drug_ids: Sequence[int],
+        graph=None,
     ):
         root = Path(artifact_dir)
         self.artifact_dir = root
@@ -64,6 +71,12 @@ class PredictionsInfo:
         }
         self.num_drugs = len(drug_ids)
         self.test_edges = self._read_test_edges(test_edge_csv)
+        self._adjacencies: Dict[str, np.ndarray] = {}
+        if graph is not None:
+            dd = max(et for et in graph.relations if et[0] == et[1])
+            for rel in graph.relations[dd]:
+                if rel.transpose_of is None:
+                    self._adjacencies[rel.name] = (rel.rows, rel.cols)
 
     def _read_test_edges(self, path: str) -> Dict[str, np.ndarray]:
         result: Dict[str, List[np.ndarray]] = {}
@@ -93,16 +106,21 @@ class PredictionsInfo:
         )
 
     def train_edges(self, relation_id: str) -> np.ndarray:
-        """All-cells-minus-heldout with 0/1 labels [M, 3].
+        """All-cells-minus-heldout with 0/1 labels [M, 3] (reference
+        ``_buildTrainEdgeDict``, ``NpPredictor.py:97-141``).
 
-        Labels require the original adjacency; reconstructed from the
-        held-out CSV alone they default to 0 except recorded positives —
-        callers needing true labels should pass the adjacency via
-        ``train_edges_with_adjacency``.
+        Labels come from the dataset's drug-drug adjacency — construct
+        ``PredictionsInfo`` with ``graph=`` (or use
+        ``train_edges_with_adjacency`` to supply one relation directly).
         """
-        raise NotImplementedError(
-            "use train_edges_with_adjacency(relation_id, rows, cols)"
-        )
+        if relation_id not in self._adjacencies:
+            raise ValueError(
+                f"no adjacency for relation {relation_id!r}: construct "
+                "PredictionsInfo with graph=, or call "
+                "train_edges_with_adjacency(relation_id, rows, cols)"
+            )
+        rows, cols = self._adjacencies[relation_id]
+        return self.train_edges_with_adjacency(relation_id, rows, cols)
 
     def train_edges_with_adjacency(
         self, relation_id: str, adj_rows: np.ndarray, adj_cols: np.ndarray
@@ -128,14 +146,17 @@ class TrainingEdgeIterator:
         self,
         info: PredictionsInfo,
         relation_id: str,
-        adj_rows: np.ndarray,
-        adj_cols: np.ndarray,
+        adj_rows: Optional[np.ndarray] = None,
+        adj_cols: Optional[np.ndarray] = None,
     ):
         self.info = info
         self.relation_id = relation_id
-        self._edges = info.train_edges_with_adjacency(
-            relation_id, adj_rows, adj_cols
-        )
+        if adj_rows is None or adj_cols is None:
+            self._edges = info.train_edges(relation_id)
+        else:
+            self._edges = info.train_edges_with_adjacency(
+                relation_id, adj_rows, adj_cols
+            )
 
     def get_train_edges(self) -> np.ndarray:
         return self._edges

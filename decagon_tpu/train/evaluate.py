@@ -105,12 +105,17 @@ class AccuracyEvaluator:
         splits: Dict[RelationKey, EdgeSplit],
         apk_k: int = 50,
         pad_multiple: int = 512,
+        embed_fn=None,
     ):
+        """``embed_fn``: optional ``(params, device_graph) -> embeddings``
+        override — pass ``trainer.embed_fn`` when evaluating a
+        mesh-sharded trainer (its graph is a ``ShardedGraph``; the
+        sharded forward returns the same full node tables)."""
         self.model = model
         self.splits = splits
         self.apk_k = apk_k
         self.pad_multiple = pad_multiple
-        self._embed = make_embed_fn(model)
+        self._embed = embed_fn if embed_fn is not None else make_embed_fn(model)
         self._score_fns = {
             et: make_emb_scores(model, et) for et in graph.edge_types
         }

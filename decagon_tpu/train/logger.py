@@ -113,9 +113,7 @@ class MetricsLogger:
     def _checkpoint(self, trainer: Trainer) -> None:
         self.checkpointer.save(trainer.global_step, trainer.state_dict())
         if self.ndarray_dir is not None:
-            embeddings = trainer.model.embeddings(
-                trainer.params, trainer.device_graph, deterministic=True
-            )
+            embeddings = trainer.eval_embeddings()
             export_ndarrays(
                 trainer.params,
                 embeddings,

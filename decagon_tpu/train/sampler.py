@@ -91,11 +91,17 @@ class MinibatchScheduler:
         self._iter = 0
 
     def num_batches_per_epoch(self) -> int:
-        """Approximate epoch length: free-relation batches dominate."""
+        """Approximate epoch length: free-relation batches dominate.
+
+        Relations with 0 < n < batch_size emit one wrap-padded batch per
+        epoch (see ``_next``), so they count as 1 here."""
         free = sum(
-            self.train_edges[self.keys[idx]].shape[0] // self.batch_size
-            for idx in range(len(self.keys))
-            if idx not in self.fixed_idxs
+            max(n // self.batch_size, 1 if n else 0)
+            for n in (
+                self.train_edges[self.keys[idx]].shape[0]
+                for idx in range(len(self.keys))
+                if idx not in self.fixed_idxs
+            )
         )
         # Fixed types interleave 1:1:1:(free) or 1:1:(free).
         return free * self.mod // max(1, self.mod - len(self.fixed_idxs))

@@ -50,12 +50,17 @@ class Trainer:
         iteration_hook: Optional[Callable[["Trainer", IterationResult], None]] = None,
         epoch_hook: Optional[Callable[["Trainer", int], None]] = None,
         mesh=None,
+        init_state: Optional[Dict] = None,
     ):
-        """``mesh``: optional ``jax.sharding.Mesh`` with one axis — the
-        trainer shards the graph's edge streams and the decoder batch
-        over it and runs the edge-partitioned ``shard_map`` step
-        (``decagon_tpu.parallel.sharded``); parameters stay replicated.
-        The scanned-chunk path is single-device only."""
+        """``mesh``: optional ``jax.sharding.Mesh`` with (row, edge) axes
+        (``parallel.make_mesh``) — the trainer partitions the adjacency
+        over it (destination-row blocks x edge shards, dense relation
+        stacks split over relations; ``parallel.rowshard``) and runs the
+        sharded ``shard_map`` step; parameters stay replicated.  The
+        scanned-chunk path is single-device only.  ``device_graph`` may
+        be a prebuilt ``ShardedGraph`` matching the mesh, or a plain
+        ``DeviceGraph`` (then the sharded graph is built from
+        ``graph``/``splits``)."""
         self.model = model
         self.graph = graph
         self.splits = splits
@@ -70,33 +75,73 @@ class Trainer:
                     "scan_chunk training is single-device; use "
                     "scan_chunk=0 with a mesh"
                 )
-            from decagon_tpu.parallel.mesh import shard_device_graph
-            from decagon_tpu.parallel.sharded import make_sharded_train_step
+            from decagon_tpu.parallel.rowshard import (
+                ShardedGraph,
+                build_sharded_device_graph,
+            )
+            from decagon_tpu.parallel.sharded import (
+                make_sharded_embed_fn,
+                make_sharded_train_step,
+            )
             from decagon_tpu.train.step import make_optimizer
 
-            self.device_graph = shard_device_graph(device_graph, mesh)
+            if isinstance(device_graph, ShardedGraph):
+                self.device_graph = device_graph
+            else:
+                self.device_graph = build_sharded_device_graph(
+                    graph, splits, mesh
+                )
             self.optimizer = make_optimizer(config)
             self.steps = {
                 et: make_sharded_train_step(
-                    model, et, config, self.optimizer, mesh, device_graph
+                    model, et, config, self.optimizer, mesh,
+                    self.device_graph,
                 )
-                for et in device_graph.edge_types
+                for et in self.device_graph.edge_types
             }
+            self.embed_fn = make_sharded_embed_fn(
+                model, mesh, self.device_graph
+            )
         else:
             self.device_graph = device_graph
             self.steps, self.optimizer = make_train_steps(
                 model, device_graph, config
             )
+            self.embed_fn = None
         init_rng, self.step_rng = jax.random.split(jax.random.PRNGKey(seed))
-        self.params = model.init_params(init_rng, device_graph)
-        self.opt_state = self.optimizer.init(self.params)
+        if init_state is not None:
+            # Reuse an existing (params, opt_state, step) — e.g. resuming
+            # into a trainer with a different spmm impl, or benchmarking
+            # several variants without paying init twice.
+            self.params = init_state["params"]
+            self.opt_state = init_state["opt_state"]
+            self.global_step = int(init_state.get("global_step", 0))
+        else:
+            # ONE compiled dispatch for the whole init: eager per-tensor
+            # glorot draws would cost a compile round-trip each on
+            # remote-attached TPUs (~10s apiece at 963-relation scale).
+            @jax.jit
+            def _init(rng):
+                params = model.init_params(rng, self.device_graph)
+                return params, self.optimizer.init(params)
+
+            self.params, self.opt_state = _init(init_rng)
+            self.global_step = 0
         self.iteration_hook = iteration_hook
         self.epoch_hook = epoch_hook
-        self.global_step = 0
         self._chunk_fn = None
         self._branch_idx = {
             et: i for i, et in enumerate(device_graph.edge_types)
         }
+
+    def eval_embeddings(self) -> Dict[str, jax.Array]:
+        """Deterministic full-graph node tables for eval/export — via the
+        sharded forward when training on a mesh."""
+        if self.embed_fn is not None:
+            return self.embed_fn(self.params, self.device_graph)
+        return self.model.embeddings(
+            self.params, self.device_graph, deterministic=True
+        )
 
     # ---- checkpoint state ---------------------------------------------
 

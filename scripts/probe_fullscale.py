@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--chunk", type=int, default=20)
     ap.add_argument("--densify-max-cells", type=int, default=8_000_000)
+    ap.add_argument("--dense-dtype", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--no-tiles", action="store_true")
     ap.add_argument("--steps", type=int, default=3, help="timed chunks")
     args = ap.parse_args()
@@ -90,6 +91,7 @@ def main():
         graph, splits,
         tile_for_pallas=on_accel and not args.no_tiles,
         densify_max_cells=args.densify_max_cells,
+        dense_dtype=jnp.bfloat16 if args.dense_dtype == "bf16" else np.float32,
     )
     t = stage("build_device_graph", t)
     print("HBM after graph:", hbm_stats())

@@ -1,9 +1,15 @@
 """Multi-chip (virtual 8-device CPU mesh) sharding tests.
 
-The crucial property: edge-partitioned aggregation + batch-DP scoring
-inside shard_map produces the SAME loss and gradients as the single-chip
-computation (deterministic setting), and the sharded train step runs and
-learns.
+The crucial properties of the (row, edge) sharded path
+(``decagon_tpu.parallel``):
+
+* row-block + edge-shard aggregation with psum/all_gather produces the
+  SAME loss and gradients as the single-chip computation (deterministic
+  setting), on 1D (1 x 8) and 2D (2 x 4) meshes;
+* density dispatch survives sharding: the sharded dense einsum path
+  matches the sharded XLA segment-sum path;
+* the Trainer API drives the sharded step end-to-end and learns, and the
+  evaluator + logger combination works against a mesh trainer.
 """
 
 import numpy as np
@@ -16,12 +22,16 @@ from decagon_tpu.graph.device import build_device_graph
 from decagon_tpu.graph.split import split_graph
 from decagon_tpu.graph.synthetic import make_synthetic_graph
 from decagon_tpu.models.model import DecagonModel, ModelConfig
-from decagon_tpu.parallel.mesh import (
-    graph_pspecs,
-    make_mesh,
-    shard_device_graph,
+from decagon_tpu.parallel.mesh import make_mesh
+from decagon_tpu.parallel.rowshard import (
+    build_sharded_device_graph,
+    sharded_pspecs,
 )
-from decagon_tpu.parallel.sharded import make_sharded_train_step
+from decagon_tpu.parallel.sharded import (
+    encode_sharded,
+    make_sharded_embed_fn,
+    make_sharded_train_step,
+)
 from decagon_tpu.train.step import TrainConfig, make_optimizer
 
 
@@ -32,37 +42,20 @@ def world():
     )
     splits = split_graph(graph, val_frac=0.15, test_frac=0.1, seed=3)
     device_graph = build_device_graph(graph, splits, edge_pad_multiple=256)
-    model = DecagonModel(ModelConfig(hidden1=16, hidden2=8, dropout=0.0), device_graph)
+    model = DecagonModel(
+        ModelConfig(hidden1=16, hidden2=8, dropout=0.0), device_graph
+    )
     params = model.init_params(jax.random.PRNGKey(0), device_graph)
     return graph, splits, device_graph, model, params
 
 
-def test_sharded_loss_and_grads_match_single_chip(world):
-    graph, splits, device_graph, model, params = world
-    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    mesh = make_mesh(8)
-    sharded_graph = shard_device_graph(device_graph, mesh)
-
+def _sharded_loss_grads(model, mesh, sgraph, params, rows, cols, impl):
     edge_type = (1, 1)
     k = jnp.int32(0)
-    rng = np.random.default_rng(0)
-    rows = jnp.asarray(rng.integers(0, 48, size=64), jnp.int32)
-    cols = jnp.asarray(rng.integers(0, 48, size=64), jnp.int32)
-
-    def single_loss(params, g):
-        emb = model.embeddings(params, g, deterministic=True)
-        scores = model.score_edges(
-            params, g, emb, edge_type, k, rows, cols, deterministic=True
-        )
-        return jnp.sum(jnp.tanh(scores))
-
-    want_loss, want_grads = jax.value_and_grad(single_loss)(
-        params, device_graph
-    )
 
     def local_loss(params, g, rows, cols):
-        emb = model.embeddings(
-            params, g, deterministic=True, axis_name="edge"
+        emb = encode_sharded(
+            params, g, None, deterministic=True, spmm_impl=impl
         )
         scores = model.score_edges(
             params, g, emb, edge_type, k, rows, cols, deterministic=True
@@ -71,21 +64,52 @@ def test_sharded_loss_and_grads_match_single_chip(world):
 
     def local_grads(params, g, rows, cols):
         loss, grads = jax.value_and_grad(local_loss)(params, g, rows, cols)
-        return jax.lax.psum(loss, "edge"), jax.lax.psum(grads, "edge")
+        return (
+            jax.lax.psum(loss, ("row", "edge")),
+            jax.lax.psum(grads, ("row", "edge")),
+        )
 
-    got_loss, got_grads = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local_grads,
             mesh=mesh,
-            in_specs=(P(), graph_pspecs(device_graph), P("edge"), P("edge")),
+            in_specs=(
+                P(), sharded_pspecs(sgraph),
+                P(("row", "edge")), P(("row", "edge")),
+            ),
             out_specs=(P(), P()),
             check_vma=False,
         )
-    )(params, sharded_graph, rows, cols)
+    )(params, sgraph, rows, cols)
 
-    np.testing.assert_allclose(
-        float(got_loss), float(want_loss), rtol=1e-5
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_loss_and_grads_match_single_chip(world, shape):
+    graph, splits, device_graph, model, params = world
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(shape=shape)
+    sgraph = build_sharded_device_graph(graph, splits, mesh)
+
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(rng.integers(0, 48, size=64), jnp.int32)
+    cols = jnp.asarray(rng.integers(0, 48, size=64), jnp.int32)
+
+    def single_loss(params, g):
+        emb = model.embeddings(params, g, deterministic=True)
+        scores = model.score_edges(
+            params, g, emb, (1, 1), jnp.int32(0), rows, cols,
+            deterministic=True,
+        )
+        return jnp.sum(jnp.tanh(scores))
+
+    want_loss, want_grads = jax.value_and_grad(single_loss)(
+        params, device_graph
     )
+    got_loss, got_grads = _sharded_loss_grads(
+        model, mesh, sgraph, params, rows, cols, impl="xla"
+    )
+
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
     flat_want = jax.tree_util.tree_leaves(want_grads)
     flat_got = jax.tree_util.tree_leaves(got_grads)
     assert len(flat_want) == len(flat_got)
@@ -95,22 +119,83 @@ def test_sharded_loss_and_grads_match_single_chip(world):
         )
 
 
+def test_sharded_dense_matches_sharded_xla(world):
+    """Density dispatch under the mesh: the per-device [K_loc, Nb, Nj]
+    dense einsum equals the sharded segment-sum (VERDICT round-1 item 3)."""
+    graph, splits, device_graph, model, params = world
+    mesh = make_mesh(shape=(2, 4))
+    sgraph = build_sharded_device_graph(graph, splits, mesh)
+    assert any(a.dense is not None for a in sgraph.adj.values())
+
+    rng = np.random.default_rng(1)
+    rows = jnp.asarray(rng.integers(0, 48, size=64), jnp.int32)
+    cols = jnp.asarray(rng.integers(0, 48, size=64), jnp.int32)
+
+    loss_d, grads_d = _sharded_loss_grads(
+        model, mesh, sgraph, params, rows, cols, impl="dense"
+    )
+    loss_x, grads_x = _sharded_loss_grads(
+        model, mesh, sgraph, params, rows, cols, impl="xla"
+    )
+    np.testing.assert_allclose(float(loss_d), float(loss_x), rtol=1e-5)
+    for d, x in zip(
+        jax.tree_util.tree_leaves(grads_d), jax.tree_util.tree_leaves(grads_x)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(d), np.asarray(x), rtol=2e-4, atol=1e-5
+        )
+
+
+def test_sharded_embed_matches_single_chip(world):
+    graph, splits, device_graph, model, params = world
+    mesh = make_mesh(shape=(2, 4))
+    sgraph = build_sharded_device_graph(graph, splits, mesh)
+    want = model.embeddings(params, device_graph, deterministic=True)
+    got = make_sharded_embed_fn(model, mesh, sgraph)(params, sgraph)
+    for key in want:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]),
+            rtol=2e-5, atol=1e-6,
+        )
+
+
 def test_trainer_with_mesh_end_to_end(world):
     """The Trainer API drives the sharded step over the full round-robin
-    schedule: every edge type's sharded step compiles and learns."""
+    schedule on a 2D mesh; the evaluator + logger combination works
+    against the mesh trainer (VERDICT round-1 item 9)."""
+    import tempfile
+
+    from decagon_tpu.train.evaluate import AccuracyEvaluator
+    from decagon_tpu.train.logger import MetricsLogger
     from decagon_tpu.train.trainer import Trainer
 
     graph, splits, device_graph, model, params = world
-    mesh = make_mesh(8)
-    cfg = TrainConfig(batch_size=64, learning_rate=1e-2)
+    mesh = make_mesh(shape=(2, 4))
+    cfg = TrainConfig(batch_size=64, learning_rate=1e-2, num_epochs=1)
     trainer = Trainer(
         model, graph, splits, device_graph, cfg, seed=0, mesh=mesh
     )
-    losses = []
-    for batch in trainer.scheduler.epoch():
-        losses.append(float(trainer.train_batch(batch)))
-    assert losses and np.all(np.isfinite(losses))
-    assert trainer.global_step == len(losses)
+    evaluator = AccuracyEvaluator(
+        model, graph, splits, embed_fn=trainer.embed_fn
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        logger = MetricsLogger(
+            evaluator, result_dir=tmp, every_n_iterations=4, quiet=True
+        )
+        trainer.iteration_hook = logger.on_iteration
+        trainer.epoch_hook = logger.on_epoch_end
+        trainer.train(num_epochs=1)
+        logger.close()
+        import csv
+
+        with open(logger.path) as f:
+            rows = list(csv.DictReader(f))
+    assert trainer.global_step > 0
+    assert rows  # at least one eval row
+    # Epoch-end row pools every drug-drug relation through the sharded
+    # forward; AUROC must be a real number.
+    assert rows[-1]["EvaluateAll"] == "True"
+    assert 0.0 <= float(rows[-1]["AUROC"]) <= 1.0
 
     with pytest.raises(ValueError, match="single-device"):
         Trainer(
@@ -121,13 +206,13 @@ def test_trainer_with_mesh_end_to_end(world):
 
 def test_sharded_train_step_runs_and_learns(world):
     graph, splits, device_graph, model, params = world
-    mesh = make_mesh(8)
-    sharded_graph = shard_device_graph(device_graph, mesh)
+    mesh = make_mesh(shape=(2, 4))
+    sgraph = build_sharded_device_graph(graph, splits, mesh)
     cfg = TrainConfig(batch_size=64, learning_rate=1e-2)
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     step = make_sharded_train_step(
-        model, (1, 1), cfg, optimizer, mesh, device_graph
+        model, (1, 1), cfg, optimizer, mesh, sgraph
     )
 
     train = splits[(1, 1, 0)].train
@@ -138,7 +223,7 @@ def test_sharded_train_step_runs_and_learns(world):
         rows = jnp.asarray(train[idx, 0])
         cols = jnp.asarray(train[idx, 1])
         p, opt_state, loss = step(
-            p, opt_state, sharded_graph, jnp.int32(0), rows, cols,
+            p, opt_state, sgraph, jnp.int32(0), rows, cols,
             jax.random.PRNGKey(it),
         )
         losses.append(float(loss))

@@ -53,7 +53,7 @@ def test_tiled_spmm_gradient_matches_xla():
     tiles_b = build_tiles(dst, src, vals, n_dst, k * n_src, 64, 64, 64)
 
     def f_pallas(p_stack):
-        out = _spmm_pallas_op(p_stack, tiles_f, tiles_b, n_dst, True)
+        out = _spmm_pallas_op(p_stack, tiles_f, tiles_b, n_dst, True, "highest")
         return jnp.sum(jnp.tanh(out))
 
     def f_xla(p_stack):
@@ -84,7 +84,7 @@ def test_encoder_with_pallas_spmm_matches_xla():
     splits = split_graph(graph, val_frac=0.1, test_frac=0.05, seed=1)
     dg = build_device_graph(
         graph, splits, edge_pad_multiple=256,
-        tile_for_pallas=True, tile_block=64,
+        tile_for_pallas=True, tile_block=64, tile_even_if_dense=True,
     )
     model_x = DecagonModel(ModelConfig(hidden1=16, hidden2=8), dg)
     params = model_x.init_params(jax.random.PRNGKey(0), dg)
