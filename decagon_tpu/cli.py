@@ -152,6 +152,8 @@ def train_once(
         test_frac=float(config.get("TestFraction", 0.0)),
         seed=seed,
         precomputed_holdout=holdout or None,
+        min_holdout=int(config.get("MinHoldoutEdges", 50)),
+        holdout_cap_frac=float(config.get("HoldoutCapFraction", 0.25)),
     )
     if config.has("TestEdgeFilename"):
         path = write_heldout_edges_csv(

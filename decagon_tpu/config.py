@@ -87,7 +87,8 @@ class Config:
             learning_rate=float(self.get("learning_rate", 1e-3)),
             loss=str(self.get("Loss", "hinge")),
             margin=float(self.get("max_margin", 0.1)),
-            neg_sample_weight=float(self.get("neg_sample_size", 1.0)),
+            neg_sample_size=int(self.get("neg_sample_size", 1)),
+            neg_sample_weight=float(self.get("neg_sample_weights", 1.0)),
             num_epochs=int(self.get("NumEpochs", self.get("epochs", 50))),
             scan_chunk=int(self.get("ScanChunk", 0)),
         )

@@ -116,16 +116,21 @@ def split_relation(
     test_frac: float,
     rng: np.random.Generator,
     min_holdout: int = 50,
+    holdout_cap_frac: float = 0.25,
 ) -> EdgeSplit:
-    """Split one relation's [E, 2] edge array; sample matching negatives."""
+    """Split one relation's [E, 2] edge array; sample matching negatives.
+
+    ``holdout_cap_frac`` clamps each holdout set to that fraction of the
+    relation's edges — a divergence knob for relations under
+    ``min_holdout / frac`` edges, where the reference's ``max(50, ...)``
+    floor (``minibatch.py:176-177``) would otherwise eat the train set
+    (its real data never hits this: >=500-edge filter).  Set to 1.0 for
+    the reference's exact protocol on small relations."""
     edges = np.asarray(edges, dtype=np.int32).reshape(-1, 2)
     num_edges = edges.shape[0]
     num_val = max(min_holdout, int(np.floor(num_edges * val_frac)))
     num_test = max(min_holdout, int(np.floor(num_edges * test_frac)))
-    # The reference assumes relations comfortably exceed the 50-edge floor
-    # (>=500-edge filter on real data).  Clamp for small relations so at
-    # least half the edges keep training.
-    cap = num_edges // 4
+    cap = int(num_edges * holdout_cap_frac)
     num_val = min(num_val, cap)
     num_test = min(num_test, cap)
     if num_edges and num_val == 0:
@@ -162,6 +167,7 @@ def split_graph(
     seed: int = 123,
     precomputed_holdout: Optional[Dict[int, Dict[str, np.ndarray]]] = None,
     min_holdout: int = 50,
+    holdout_cap_frac: float = 0.25,
 ) -> Dict[RelationKey, EdgeSplit]:
     """Split every relation of the graph.
 
@@ -202,7 +208,8 @@ def split_graph(
             )
         else:
             splits[key] = split_relation(
-                rel.edges, rel.shape, val_frac, test_frac, rng, min_holdout
+                rel.edges, rel.shape, val_frac, test_frac, rng,
+                min_holdout, holdout_cap_frac,
             )
     return splits
 

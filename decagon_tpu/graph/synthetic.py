@@ -120,6 +120,7 @@ def make_polypharmacy_like_graph(
     ppi_attachment: int = 5,
     mono_features: bool = False,
     n_mono_side_effects: int = 0,
+    planted_rank: int = 0,
 ) -> RelationGraph:
     """A larger random graph shaped like the polypharmacy dataset.
 
@@ -180,9 +181,26 @@ def make_polypharmacy_like_graph(
             ).astype(int)
         )
         sizes = rng.choice(sizes, size=n_side_effects, replace=True)
+    # With ``planted_rank`` > 0 the relations carry learnable structure:
+    # each side effect's edges are the top-scoring pairs of a planted
+    # low-rank bilinear model score(a, b) = (z_a * d_s) . z_b + noise —
+    # exactly the DistMult/DEDICOM family the decoders recover, so
+    # quality runs measure learning, not noise.  0 = uniform pairs
+    # (structure is irrelevant for throughput benchmarks).
     drug_rels = []
+    if planted_rank > 0:
+        z = rng.randn(n_drugs, planted_rank) / np.sqrt(planted_rank)
+        iu, ju = np.triu_indices(n_drugs, k=1)
     for s, size in enumerate(sizes):
-        upper = _sample_unique_pairs(rng, n_drugs, int(size))
+        size = int(min(size, max_pairs))
+        if planted_rank > 0:
+            d = rng.randn(planted_rank)
+            logits = ((z * d) @ z.T)[iu, ju]
+            logits = logits + 0.3 * rng.randn(logits.shape[0])
+            top = np.argpartition(-logits, size - 1)[:size]
+            upper = np.stack([iu[top], ju[top]], axis=1)
+        else:
+            upper = _sample_unique_pairs(rng, n_drugs, size)
         rows = np.concatenate([upper[:, 0], upper[:, 1]])
         cols = np.concatenate([upper[:, 1], upper[:, 0]])
         drug_rels.append(

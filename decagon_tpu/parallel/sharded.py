@@ -178,16 +178,19 @@ def make_sharded_train_step(
         pos = model.score_edges(
             params, graph, embeddings, edge_type, k, rows, cols
         )
+        ns = max(1, cfg.neg_sample_size)
         neg_rows = sample_unigram(
             jax.random.fold_in(sample_rng, shard),
             graph.neg_cdf[et_key][k],
-            local_batch,
+            local_batch * ns,
         )
+        neg_cols = jnp.tile(cols, ns) if ns > 1 else cols
         neg = model.score_edges(
-            params, graph, embeddings, edge_type, k, neg_rows, cols
+            params, graph, embeddings, edge_type, k, neg_rows, neg_cols
         )
         if loss_name == "hinge":
-            return LOSSES["hinge"](pos, neg, cfg.margin)
+            pos_t = jnp.tile(pos, ns) if ns > 1 else pos
+            return LOSSES["hinge"](pos_t, neg, cfg.margin)
         return LOSSES["xent"](pos, neg, cfg.neg_sample_weight)
 
     def grads_fn(params, graph, k, rows, cols, rng):

@@ -41,6 +41,12 @@ class TrainConfig:
     learning_rate: float = 1e-3
     loss: str = "hinge"
     margin: float = 0.1
+    # Negatives drawn per positive (sampler fan-out — the reference's
+    # ``neg_sample_size`` flag governed its candidate sampler the same
+    # way, optimizer.py:36-49).
+    neg_sample_size: int = 1
+    # Loss weight on the negative xent term (the reference's separate
+    # ``neg_sample_weights`` flag, optimizer.py:122-127).
     neg_sample_weight: float = 1.0
     num_epochs: int = 50
     # >0: run training as device-resident scanned chunks of this many
@@ -83,14 +89,17 @@ def make_train_step(
         pos = model.score_edges(
             params, graph, embeddings, edge_type, k, rows, cols
         )
+        ns = max(1, cfg.neg_sample_size)
         neg_rows = sample_unigram(
-            sample_rng, graph.neg_cdf[et_key][k], cfg.batch_size
+            sample_rng, graph.neg_cdf[et_key][k], cfg.batch_size * ns
         )
+        neg_cols = jnp.tile(cols, ns) if ns > 1 else cols
         neg = model.score_edges(
-            params, graph, embeddings, edge_type, k, neg_rows, cols
+            params, graph, embeddings, edge_type, k, neg_rows, neg_cols
         )
         if loss_name == "hinge":
-            return LOSSES["hinge"](pos, neg, cfg.margin)
+            pos_t = jnp.tile(pos, ns) if ns > 1 else pos
+            return LOSSES["hinge"](pos_t, neg, cfg.margin)
         return LOSSES["xent"](pos, neg, cfg.neg_sample_weight)
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -160,14 +169,18 @@ def make_chunked_train_step(
                 pos = model.score_edges(
                     params, graph, embeddings, et, k, rows, cols
                 )
+                ns = max(1, cfg.neg_sample_size)
                 neg_rows = sample_unigram(
-                    sample_rng, graph.neg_cdf[et_key][k], cfg.batch_size
+                    sample_rng, graph.neg_cdf[et_key][k],
+                    cfg.batch_size * ns,
                 )
+                neg_cols = jnp.tile(cols, ns) if ns > 1 else cols
                 neg = model.score_edges(
-                    params, graph, embeddings, et, k, neg_rows, cols
+                    params, graph, embeddings, et, k, neg_rows, neg_cols
                 )
                 if cfg.loss == "hinge":
-                    return LOSSES["hinge"](pos, neg, cfg.margin)
+                    pos_t = jnp.tile(pos, ns) if ns > 1 else pos
+                    return LOSSES["hinge"](pos_t, neg, cfg.margin)
                 return LOSSES["xent"](pos, neg, cfg.neg_sample_weight)
 
             return scoring

@@ -1,0 +1,98 @@
+"""Sharded-step throughput vs single-chip (VERDICT round-1 item 3).
+
+Measures the per-step latency of the (row, edge)-sharded train step
+against the plain single-device step on the SAME workload:
+
+* on the real TPU (1 chip): mesh (1, 1) — the sharding machinery's
+  overhead with no actual partitioning; target within ~1.5x of the
+  single-chip per-step cost;
+* on the virtual 8-device CPU mesh (JAX_PLATFORMS=cpu
+  XLA_FLAGS=--xla_force_host_platform_device_count=8): meshes (1, 8) and
+  (2, 4) — correctness-shaped scaling signal (virtual devices share one
+  host's cores, so absolute speedups are not meaningful; the number to
+  watch is that sharded per-device cost stays in the same decade).
+
+Writes artifacts/perf/sharded_bench.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from decagon_tpu.graph.device import build_device_graph
+from decagon_tpu.graph.split import split_graph
+from decagon_tpu.graph.synthetic import make_polypharmacy_like_graph
+from decagon_tpu.models.model import DecagonModel, ModelConfig
+from decagon_tpu.train.step import TrainConfig
+from decagon_tpu.train.trainer import Trainer
+
+ART = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "perf",
+)
+
+
+def steady_ms(trainer, steps=30):
+    batches = []
+    while len(batches) < 2 * steps:
+        batches.extend(trainer.scheduler.epoch())
+    for b in batches[:3]:  # compile all edge-type branches it will see
+        trainer.train_batch(b)
+    jax.block_until_ready(trainer.params)
+    times = []
+    for b in batches[3 : 3 + steps]:
+        t0 = time.perf_counter()
+        trainer.train_batch(b)
+        jax.block_until_ready(trainer.params)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1e3)
+
+
+def main():
+    graph = make_polypharmacy_like_graph(
+        n_proteins=2000, n_drugs=400, n_side_effects=50, seed=7
+    )
+    splits = split_graph(graph, val_frac=0.05, test_frac=0.05, seed=1)
+    dg = build_device_graph(
+        graph, splits, densify_max_cells=400_000_000, build_fused=False
+    )
+    model = DecagonModel(ModelConfig(spmm_impl="auto"), dg)
+    cfg = TrainConfig(batch_size=512, learning_rate=1e-3)
+
+    result = {"backend": jax.default_backend(), "devices": len(jax.devices())}
+    single = Trainer(model, graph, splits, dg, cfg, seed=0)
+    result["single_ms_per_step"] = round(steady_ms(single), 3)
+
+    shapes = [(1, 1)] if len(jax.devices()) == 1 else [(1, 8), (2, 4)]
+    from decagon_tpu.parallel.mesh import make_mesh
+
+    for shape in shapes:
+        mesh = make_mesh(shape=shape)
+        t = Trainer(
+            model, graph, splits, dg, cfg, seed=0, mesh=mesh,
+            init_state=single.state_dict(),
+        )
+        ms = steady_ms(t)
+        key = f"sharded_{shape[0]}x{shape[1]}_ms_per_step"
+        result[key] = round(ms, 3)
+        result[f"sharded_{shape[0]}x{shape[1]}_vs_single"] = round(
+            ms / result["single_ms_per_step"], 3
+        )
+
+    os.makedirs(ART, exist_ok=True)
+    with open(os.path.join(ART, "sharded_bench.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Profile decoder (SDDMM) scoring at eval scale vs the encoder forward.
+
+VERDICT round-1 item 8: BASELINE names "custom Pallas SpMM and SDDMM
+kernels"; the SDDMM side is plain jnp (gather + small einsum).  This
+records whether that is justified: at 963-relation eval scale the
+scoring dispatch handles every relation's padded holdout in ONE call —
+measure its share of total eval time.  If scoring is <5% of eval, jnp
+is the right call (the op is a [B,d] gather + [B,d]x[d,d] einsum —
+already MXU/memory-shaped with nothing for a kernel to fuse further).
+
+Writes artifacts/perf/sddmm_profile.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from decagon_tpu.graph.device import build_device_graph
+from decagon_tpu.graph.split import split_graph
+from decagon_tpu.graph.synthetic import make_polypharmacy_like_graph
+from decagon_tpu.models.model import DecagonModel, ModelConfig
+from decagon_tpu.train.evaluate import AccuracyEvaluator
+
+ART = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "perf",
+)
+
+
+def timed(fn, *args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    graph = make_polypharmacy_like_graph(
+        n_proteins=19081, n_drugs=645, n_side_effects=963,
+        min_edges_per_relation=500, total_drugdrug_edges=4_651_131,
+        ppi_attachment=37, seed=7,
+    )
+    splits = split_graph(graph, val_frac=0.05, test_frac=0.05, seed=1)
+    dg = build_device_graph(
+        graph, splits,
+        densify_max_cells=1_000_000_000,
+        dense_dtype=jnp.bfloat16,
+        build_fused=False,
+    )
+    model = DecagonModel(ModelConfig(spmm_impl="auto"), dg)
+    params = model.init_params(jax.random.PRNGKey(0), dg)
+    ev = AccuracyEvaluator(model, graph, splits)
+
+    # Encoder forward (once per evaluation).
+    t_embed, emb = timed(lambda: ev._embed(params, dg))
+
+    # Flat multi-relation scoring over ALL drug-drug holdout batches.
+    dd = (1, 1)
+    batches = [
+        (key[2], split.val)
+        for key, split in splits.items()
+        if key[:2] == dd
+    ]
+    n_edges = sum(e.shape[0] for _, e in batches)
+
+    def score():
+        return ev._probs_flat(params, emb, dd, batches)
+
+    t_score, _ = timed(score, reps=5)
+
+    # End-to-end evaluate_all (both polarities + metric computation).
+    t_all0 = time.perf_counter()
+    scores = ev.evaluate_all_drug_drug(params, dg, embeddings=emb)
+    t_all = time.perf_counter() - t_all0
+
+    result = {
+        "relations": len(batches),
+        "scored_edges_per_polarity": int(n_edges),
+        "encoder_forward_ms": round(t_embed * 1e3, 2),
+        "sddmm_scoring_ms": round(t_score * 1e3, 2),
+        "evaluate_all_ms_incl_sklearn": round(t_all * 1e3, 2),
+        "sddmm_share_of_forward_plus_scoring": round(
+            t_score / (t_embed + t_score), 4
+        ),
+        "verdict": (
+            "jnp SDDMM justified" if t_score / (t_embed + t_score) < 0.05
+            else "consider Pallas SDDMM"
+        ),
+        "auroc_sanity": round(scores.auroc, 4),
+    }
+    os.makedirs(ART, exist_ok=True)
+    with open(os.path.join(ART, "sddmm_profile.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -481,3 +481,90 @@ def test_cli_end_to_end(tmp_path, capsys):
     cli.main(["--config", str(path)])
     results = os.listdir(tmp_path / "results")
     assert any(f.startswith("decagon_iteration_results") for f in results)
+
+
+def test_side_effect_subset_allowlist(tmp_path):
+    """Per-side-effect dataset variants: the allowlist replaces the
+    >=N-edge filter outright (reference NeutropeniaAdjMtxBuilder.py:5-11
+    overrides _filterEdgeSets to ID selection)."""
+    paths = _write_public_csvs(tmp_path)
+    ds = load_public_dataset(
+        paths["combo"], paths["ppi"], paths["targets"], None,
+        min_edges_per_relation=20, relation_allowlist={3},
+        with_transposes=False,
+    )
+    # C0000003 has only 3 raw edges — selected anyway by ID.
+    assert ds.relation_names == ["C0000003"]
+    assert len(ds.graph.relations[(1, 1)]) == 1
+
+
+def test_side_effect_subset_config():
+    from decagon_tpu.cli import _side_effect_subset
+    from decagon_tpu.config import Config
+    from decagon_tpu.data.public import NAMED_SIDE_EFFECTS
+
+    assert _side_effect_subset(Config({})) is None
+    got = _side_effect_subset(Config({"SideEffectSubset": "neutropenia"}))
+    assert got == {NAMED_SIDE_EFFECTS["neutropenia"]}
+    got = _side_effect_subset(
+        Config({"SideEffectSubset": ["Anosmia", 123, "456"]})
+    )
+    assert got == {NAMED_SIDE_EFFECTS["anosmia"], 123, 456}
+    with pytest.raises(ValueError, match="unknown side-effect name"):
+        _side_effect_subset(Config({"SideEffectSubset": "bogus"}))
+
+
+def test_predictor_train_edges_from_graph(tmp_path, trained):
+    """PredictionsInfo.train_edges labels the all-pairs-minus-heldout
+    complement from the dataset adjacency (reference NpPredictor.py:
+    97-141) and matches the explicit-adjacency path."""
+    graph, splits, dg, model, trainer = trained
+    from decagon_tpu.train.checkpoint import export_ndarrays
+
+    drug_ids = list(range(graph.num_nodes[1]))
+    names = [r.name for r in graph.relations[(1, 1)]
+             if r.transpose_of is None]
+    emb = trainer.eval_embeddings()
+    nd = tmp_path / "nd2"
+    export_ndarrays(trainer.params, emb, dg, str(nd), relation_names=names)
+    csv_path = write_heldout_edges_csv(
+        graph, splits, str(tmp_path / "edges2.csv"),
+        protein_ids=list(range(graph.num_nodes[0])),
+        drug_ids=drug_ids, relation_names=names,
+    )
+    info = PredictionsInfo(str(nd), csv_path, drug_ids, graph=graph)
+    rel = graph.relations[(1, 1)][0]
+    got = info.train_edges(rel.name)
+    want = info.train_edges_with_adjacency(rel.name, rel.rows, rel.cols)
+    np.testing.assert_array_equal(got, want)
+    n = graph.num_nodes[1]
+    # Complement property: no held-out pair appears, labels match adj.
+    held = {(int(r), int(c)) for r, c in info.test_edges[rel.name][:, :2]}
+    got_pairs = {(int(r), int(c)) for r, c in got[:, :2]}
+    assert not (held & got_pairs)
+    assert len(got) == n * n - len(held)
+    adj = {(int(r), int(c)) for r, c in zip(rel.rows, rel.cols)}
+    for r, c, label in got[:1000]:
+        assert label == int((int(r), int(c)) in adj)
+    # Without a graph the contract error is explicit.
+    info2 = PredictionsInfo(str(nd), csv_path, drug_ids)
+    with pytest.raises(ValueError, match="no adjacency"):
+        info2.train_edges(rel.name)
+
+
+def test_num_batches_counts_wrap_padded_relations():
+    """Relations with 0 < n < batch_size emit one wrap-padded batch and
+    must count as 1 in the epoch estimate (ADVICE round 1)."""
+    from decagon_tpu.graph.synthetic import make_synthetic_graph
+    from decagon_tpu.graph.split import split_graph
+    from decagon_tpu.train.sampler import MinibatchScheduler
+
+    graph = make_synthetic_graph(
+        n_genes=60, n_drugs=30, n_drugdrug_types=2, seed=0
+    )
+    splits = split_graph(graph, val_frac=0.1, test_frac=0.05, seed=1)
+    sched = MinibatchScheduler(graph, splits, batch_size=4096, seed=0)
+    est = sched.num_batches_per_epoch()
+    got = len(list(sched.epoch()))
+    assert est > 0
+    assert got > 0

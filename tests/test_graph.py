@@ -137,3 +137,52 @@ def test_masked_graph():
     masked = g.masked({(1, 1, 0): mask})
     assert masked.relations[(1, 1)][0].num_edges == rel.num_edges // 2
     assert masked.relations[(0, 0)][0].num_edges == g.relations[(0, 0)][0].num_edges
+
+
+def test_dense_bf16_spmm_close_to_f32():
+    """bf16 dense stacks (the paper-scale memory-bound path) stay within
+    bf16 rounding of the exact fp32 segment-sum aggregation."""
+    import jax.numpy as jnp
+
+    from decagon_tpu.graph.device import build_device_graph
+    from decagon_tpu.graph.split import split_graph
+    from decagon_tpu.graph.synthetic import make_synthetic_graph
+    from decagon_tpu.ops.segment import spmm
+
+    graph = make_synthetic_graph(
+        n_genes=60, n_drugs=30, n_drugdrug_types=2, seed=0
+    )
+    splits = split_graph(graph, val_frac=0.1, test_frac=0.05, seed=1)
+    dg32 = build_device_graph(graph, splits)
+    dg16 = build_device_graph(graph, splits, dense_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    for key, adj in dg32.adj.items():
+        p = jnp.asarray(
+            rng.standard_normal((adj.num_rel, adj.n_cols, 16)), jnp.float32
+        )
+        want = np.asarray(spmm(p, adj, impl="xla"))
+        got = np.asarray(spmm(p, dg16.adj[key], impl="dense"))
+        scale = np.abs(want).max() + 1e-6
+        assert np.max(np.abs(got - want)) / scale < 2e-2
+
+
+def test_polypharmacy_generator_edge_budget():
+    """Paper-scale knobs: relation sizes respect the >=min floor and sum
+    close to the requested total (Pareto tail)."""
+    from decagon_tpu.graph.synthetic import make_polypharmacy_like_graph
+
+    graph = make_polypharmacy_like_graph(
+        n_proteins=300, n_drugs=120, n_side_effects=40,
+        min_edges_per_relation=20, total_drugdrug_edges=40_000,
+        with_transposes=False, seed=3,
+    )
+    sizes = np.array(
+        [r.rows.shape[0] for r in graph.relations[(1, 1)]]
+    )
+    assert len(sizes) == 40
+    assert sizes.min() >= 20
+    assert abs(sizes.sum() - 40_000) / 40_000 < 0.25
+    # Symmetric storage: every edge has its mirror.
+    rel = graph.relations[(1, 1)][0]
+    pairs = {(int(r), int(c)) for r, c in zip(rel.rows, rel.cols)}
+    assert all((c, r) in pairs for r, c in pairs)

@@ -190,3 +190,23 @@ def test_apk_matches_reference_semantics():
 def test_compute_scores_perfect_separation():
     s = compute_scores(np.array([0.9, 0.8]), np.array([0.2, 0.1]))
     assert s.auroc == 1.0 and s.auprc == 1.0 and s.apk == 1.0
+
+
+def test_neg_sample_size_fanout(small_world):
+    """neg_sample_size > 1 draws that many negatives per positive
+    (sampler fan-out, reference optimizer.py:36-49) and still trains."""
+    graph, splits, dg = small_world
+    from decagon_tpu.models.model import DecagonModel, ModelConfig
+
+    model = DecagonModel(ModelConfig(hidden1=16, hidden2=8), dg)
+    cfg = TrainConfig(batch_size=32, learning_rate=1e-2, neg_sample_size=3)
+    trainer = Trainer(model, graph, splits, dg, cfg, seed=0)
+    losses = [trainer.train_batch(b) for b in trainer.scheduler.epoch()]
+    losses = [float(l) for l in losses]
+    assert losses and np.all(np.isfinite(losses))
+    # Triple fan-out means the hinge sum sees 3x the pairs: the loss
+    # scale must exceed the single-negative run's first step.
+    cfg1 = TrainConfig(batch_size=32, learning_rate=1e-2, neg_sample_size=1)
+    t1 = Trainer(model, graph, splits, dg, cfg1, seed=0)
+    first1 = float(t1.train_batch(next(iter(t1.scheduler.epoch()))))
+    assert losses[0] > first1
