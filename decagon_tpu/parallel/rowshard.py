@@ -40,8 +40,67 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from decagon_tpu.graph.container import EdgeType, RelationGraph, RelationKey
 from decagon_tpu.graph.device import etkey, parse_etkey, _round_up
 from decagon_tpu.graph.split import EdgeSplit
+from decagon_tpu.ops.tiling import TiledEdges, build_tiles
 
 AXES = ("row", "edge")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StackedTiles:
+    """Per-shard Pallas tilings, padded to a common tile count and
+    stacked on a leading shard axis (shard with ``P(("row","edge"))``).
+
+    Padding tiles sit BEYOND every ``row_ptr`` range, so the kernel
+    never executes them.  Inside shard_map, slot 0 of each array plus
+    the static fields reconstruct a ``TiledEdges`` for the local kernel
+    call."""
+
+    packed: jax.Array  # int32 [S, T, 4, C]
+    src_block: jax.Array  # int32 [S, T]
+    row_ptr: jax.Array  # int32 [S, num_dst_blocks + 1]
+    n_dst: int = dataclasses.field(metadata=dict(static=True))
+    n_src: int = dataclasses.field(metadata=dict(static=True))
+    block_r: int = dataclasses.field(metadata=dict(static=True))
+    block_s: int = dataclasses.field(metadata=dict(static=True))
+    tile_c: int = dataclasses.field(metadata=dict(static=True))
+
+    def local(self) -> TiledEdges:
+        """TiledEdges view of this device's shard (leading dim 1)."""
+        return TiledEdges(
+            packed=self.packed[0],
+            src_block=self.src_block[0],
+            row_ptr=self.row_ptr[0],
+            n_dst=self.n_dst,
+            n_src=self.n_src,
+            block_r=self.block_r,
+            block_s=self.block_s,
+            tile_c=self.tile_c,
+        )
+
+
+def _stack_tiles(per_shard: List[TiledEdges]) -> StackedTiles:
+    t_max = max(t.num_tiles for t in per_shard)
+    packed = np.zeros(
+        (len(per_shard), t_max) + tuple(per_shard[0].packed.shape[1:]),
+        np.int32,
+    )
+    src_block = np.zeros((len(per_shard), t_max), np.int32)
+    row_ptr = np.stack([np.asarray(t.row_ptr) for t in per_shard])
+    for s, t in enumerate(per_shard):
+        packed[s, : t.num_tiles] = np.asarray(t.packed)
+        src_block[s, : t.num_tiles] = np.asarray(t.src_block)
+    first = per_shard[0]
+    return StackedTiles(
+        packed=packed,
+        src_block=src_block,
+        row_ptr=row_ptr.astype(np.int32),
+        n_dst=first.n_dst,
+        n_src=first.n_src,
+        block_r=first.block_r,
+        block_s=first.block_s,
+        tile_c=first.tile_c,
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -63,6 +122,10 @@ class ShardedEdgeTypeAdj:
     # Optional dense relation stacks per device: [S, K_loc, Nb, Nj]
     # (relations split over the edge axis, rows over the row axis).
     dense: Optional[jax.Array]
+    # Optional per-shard Pallas tilings (fwd: scatter into the local row
+    # block; bwd: scatter cotangents into the [K * Nj] projected space).
+    tiles_fwd: Optional["StackedTiles"]
+    tiles_bwd: Optional["StackedTiles"]
     num_rel: int = dataclasses.field(metadata=dict(static=True))
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
@@ -105,6 +168,15 @@ class ShardedGraph:
 def sharded_pspecs(graph: ShardedGraph, axes=AXES) -> ShardedGraph:
     """ShardedGraph-shaped pytree of PartitionSpecs for shard_map."""
     both = P(axes)
+    def tile_specs(t: Optional[StackedTiles]) -> Optional[StackedTiles]:
+        if t is None:
+            return None
+        return StackedTiles(
+            packed=both, src_block=both, row_ptr=both,
+            n_dst=t.n_dst, n_src=t.n_src,
+            block_r=t.block_r, block_s=t.block_s, tile_c=t.tile_c,
+        )
+
     adj = {
         key: ShardedEdgeTypeAdj(
             senders=both,
@@ -112,6 +184,8 @@ def sharded_pspecs(graph: ShardedGraph, axes=AXES) -> ShardedGraph:
             rel=both,
             vals=both,
             dense=None if a.dense is None else both,
+            tiles_fwd=tile_specs(a.tiles_fwd),
+            tiles_bwd=tile_specs(a.tiles_bwd),
             num_rel=a.num_rel,
             n_rows=a.n_rows,
             n_cols=a.n_cols,
@@ -142,6 +216,9 @@ def build_sharded_device_graph(
     edge_pad_multiple: int = 256,
     densify_max_cells_per_device: int = 8_000_000,
     dense_dtype=np.float32,
+    tile_for_pallas: bool = False,
+    tile_block: int = 256,
+    tile_even_if_dense: bool = False,
 ) -> ShardedGraph:
     """Partition normalized train adjacencies over a (row, edge) mesh.
 
@@ -218,12 +295,52 @@ def build_sharded_device_graph(
             )
             del dense_np
 
+        tiles_fwd = tiles_bwd = None
+        if tile_for_pallas and (dense is None or tile_even_if_dense):
+            flat_space = k * n_j
+            fwd_parts, bwd_parts = [], []
+            for b in range(nr):
+                for e in range(ne):
+                    sl_send = send_a[b, e].astype(np.int64)
+                    sl_recv = recv_a[b, e].astype(np.int64)
+                    sl_flat = rel_a[b, e].astype(np.int64) * n_j + sl_send
+                    sl_vals = val_a[b, e]
+                    fwd_parts.append(build_tiles(
+                        sl_flat, sl_recv, sl_vals, flat_space, nb,
+                        block_r=tile_block, block_s=tile_block,
+                        tile_c=tile_block,
+                    ))
+                    bwd_parts.append(build_tiles(
+                        sl_recv, sl_flat, sl_vals, nb, flat_space,
+                        block_r=tile_block, block_s=tile_block,
+                        tile_c=tile_block,
+                    ))
+            st_f, st_b = _stack_tiles(fwd_parts), _stack_tiles(bwd_parts)
+            tiles_fwd = StackedTiles(
+                packed=jax.device_put(st_f.packed, both),
+                src_block=jax.device_put(st_f.src_block, both),
+                row_ptr=jax.device_put(st_f.row_ptr, both),
+                n_dst=st_f.n_dst, n_src=st_f.n_src,
+                block_r=st_f.block_r, block_s=st_f.block_s,
+                tile_c=st_f.tile_c,
+            )
+            tiles_bwd = StackedTiles(
+                packed=jax.device_put(st_b.packed, both),
+                src_block=jax.device_put(st_b.src_block, both),
+                row_ptr=jax.device_put(st_b.row_ptr, both),
+                n_dst=st_b.n_dst, n_src=st_b.n_src,
+                block_r=st_b.block_r, block_s=st_b.block_s,
+                tile_c=st_b.tile_c,
+            )
+
         adj[etkey((i, j))] = ShardedEdgeTypeAdj(
             senders=jax.device_put(send_a.reshape(s_total, e_loc), both),
             receivers=jax.device_put(recv_a.reshape(s_total, e_loc), both),
             rel=jax.device_put(rel_a.reshape(s_total, e_loc), both),
             vals=jax.device_put(val_a.reshape(s_total, e_loc), both),
             dense=dense,
+            tiles_fwd=tiles_fwd,
+            tiles_bwd=tiles_bwd,
             num_rel=k,
             n_rows=n_i,
             n_cols=n_j,

@@ -52,6 +52,7 @@ def encode_sharded(
     spmm_impl: str = "auto",
     per_relation_dropout_max: int = 64,
     axes=AXES,
+    spmm_precision: str = "highest",
 ) -> Dict[str, jax.Array]:
     """Two-layer encoder inside shard_map over a (row, edge) mesh.
 
@@ -74,7 +75,27 @@ def encode_sharded(
         k, n_j, h = p_stack.shape
         nb = adj.n_rows_block
         use_dense = adj.dense is not None and spmm_impl in ("auto", "dense")
-        if use_dense:
+        use_pallas = adj.tiles_fwd is not None and (
+            spmm_impl in ("pallas", "pallas_interpret")
+            or (spmm_impl == "auto" and not use_dense
+                and jax.default_backend() != "cpu")
+        )
+        if use_pallas:
+            from decagon_tpu.ops.spmm_pallas import _spmm_pallas_flat_op
+
+            # Per-shard tiled kernel: local edges scattered into the
+            # local row block; the bwd tiling scatters cotangents into
+            # the [K * Nj] projected space (per-device partials, summed
+            # by the trailing grad psum).
+            part = _spmm_pallas_flat_op(
+                p_stack.reshape(k * n_j, h),
+                adj.tiles_fwd.local(),
+                adj.tiles_bwd.local(),
+                nb,
+                spmm_impl == "pallas_interpret",
+                spmm_precision,
+            )
+        elif use_dense:
             # Relations are split over the edge axis; slice this device's
             # K_loc window (pad first so the window never clamps).
             p_pad = (
@@ -172,6 +193,7 @@ def make_sharded_train_step(
             spmm_impl=mc.spmm_impl,
             per_relation_dropout_max=mc.per_relation_dropout_max,
             axes=axes,
+            spmm_precision=mc.spmm_precision,
         )
         # Scoring is deterministic given embeddings (reference parity —
         # optimizer.py:63-85 applies no decoder-input dropout).
@@ -240,6 +262,7 @@ def make_sharded_embed_fn(
             spmm_impl=mc.spmm_impl,
             per_relation_dropout_max=mc.per_relation_dropout_max,
             axes=axes,
+            spmm_precision=mc.spmm_precision,
         )
 
     return jax.jit(

@@ -116,6 +116,12 @@ class AccuracyEvaluator:
         self.apk_k = apk_k
         self.pad_multiple = pad_multiple
         self._embed = embed_fn if embed_fn is not None else make_embed_fn(model)
+        # Device-resident padded (ks, rows, cols) per holdout set: the
+        # splits are static across evaluations, so the index arrays are
+        # staged once instead of re-assembled and re-uploaded per eval
+        # (host->device transfer dominated eval latency on
+        # remote-attached chips — artifacts/perf/sddmm_profile.json).
+        self._staged: Dict = {}
         self._score_fns = {
             et: make_emb_scores(model, et) for et in graph.edge_types
         }
@@ -128,24 +134,25 @@ class AccuracyEvaluator:
         """One deterministic full-graph forward (device arrays)."""
         return self._embed(params, device_graph)
 
-    def _probs_flat(
+    def _stage(
         self,
-        params,
-        embeddings,
-        edge_type: Tuple[int, int],
         batches: List[Tuple[int, np.ndarray]],
-    ) -> List[np.ndarray]:
-        """Score many relations' edge lists in one padded dispatch.
+        cache_key=None,
+    ):
+        """Padded (ks, rows, cols, counts) for a batch list, staged on
+        device (cached under ``cache_key`` when given)."""
+        if cache_key is not None and cache_key in self._staged:
+            return self._staged[cache_key]
+        import jax.numpy as jnp
 
-        ``batches``: [(k, edges[N,2])]; returns per-entry prob arrays in
-        the same order."""
         counts = [e.shape[0] for _, e in batches]
         total = sum(counts)
-        if total == 0:
-            return [np.empty((0,), np.float32) for _ in batches]
-        padded = (
-            (total + self.pad_multiple - 1) // self.pad_multiple
-        ) * self.pad_multiple
+        padded = max(
+            self.pad_multiple,
+            (
+                (total + self.pad_multiple - 1) // self.pad_multiple
+            ) * self.pad_multiple,
+        )
         ks = np.zeros(padded, dtype=np.int32)
         rows = np.zeros(padded, dtype=np.int32)
         cols = np.zeros(padded, dtype=np.int32)
@@ -157,6 +164,28 @@ class AccuracyEvaluator:
                 rows[at : at + n] = edges[:, 0]
                 cols[at : at + n] = edges[:, 1]
             at += n
+        staged = (
+            jnp.asarray(ks), jnp.asarray(rows), jnp.asarray(cols), counts
+        )
+        if cache_key is not None:
+            self._staged[cache_key] = staged
+        return staged
+
+    def _probs_flat(
+        self,
+        params,
+        embeddings,
+        edge_type: Tuple[int, int],
+        batches: List[Tuple[int, np.ndarray]],
+        cache_key=None,
+    ) -> List[np.ndarray]:
+        """Score many relations' edge lists in one padded dispatch.
+
+        ``batches``: [(k, edges[N,2])]; returns per-entry prob arrays in
+        the same order."""
+        if sum(e.shape[0] for _, e in batches) == 0:
+            return [np.empty((0,), np.float32) for _ in batches]
+        ks, rows, cols, counts = self._stage(batches, cache_key)
         probs = np.asarray(
             self._score_fns[edge_type](params, embeddings, ks, rows, cols)
         )
@@ -198,7 +227,8 @@ class AccuracyEvaluator:
         if embeddings is None:
             embeddings = self._embed(params, device_graph)
         pos_p, neg_p = self._probs_flat(
-            params, embeddings, key[:2], [(key[2], pos), (key[2], neg)]
+            params, embeddings, key[:2], [(key[2], pos), (key[2], neg)],
+            cache_key=("one", key, bool(use_test)),
         )
         return compute_scores(pos_p, neg_p, apk_k=self.apk_k)
 
@@ -227,8 +257,14 @@ class AccuracyEvaluator:
             neg_batches.append(
                 (key[2], split.test_false if use_test else split.val_false)
             )
-        pos_parts = self._probs_flat(params, embeddings, (i, j), pos_batches)
-        neg_parts = self._probs_flat(params, embeddings, (i, j), neg_batches)
+        pos_parts = self._probs_flat(
+            params, embeddings, (i, j), pos_batches,
+            cache_key=("all", (i, j), bool(use_test), "pos"),
+        )
+        neg_parts = self._probs_flat(
+            params, embeddings, (i, j), neg_batches,
+            cache_key=("all", (i, j), bool(use_test), "neg"),
+        )
         return compute_scores(
             np.concatenate(pos_parts) if pos_parts else np.empty(0),
             np.concatenate(neg_parts) if neg_parts else np.empty(0),

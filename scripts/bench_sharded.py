@@ -75,11 +75,23 @@ def main():
     shapes = [(1, 1)] if len(jax.devices()) == 1 else [(1, 8), (2, 4)]
     from decagon_tpu.parallel.mesh import make_mesh
 
+    from decagon_tpu.parallel.rowshard import build_sharded_device_graph
+
     for shape in shapes:
         mesh = make_mesh(shape=shape)
+        # Same densify budget as the single-chip graph — otherwise the
+        # sharded step silently falls to segment-sum on edge types the
+        # single-chip run densifies (apples to apples).
+        sgraph = build_sharded_device_graph(
+            graph, splits, mesh,
+            densify_max_cells_per_device=400_000_000,
+        )
+        # Fresh copies: the donating train step would otherwise delete
+        # arrays shared with the previous trainer's state.
+        state = jax.tree.map(jnp.copy, single.state_dict())
         t = Trainer(
-            model, graph, splits, dg, cfg, seed=0, mesh=mesh,
-            init_state=single.state_dict(),
+            model, graph, splits, sgraph, cfg, seed=0, mesh=mesh,
+            init_state=state,
         )
         ms = steady_ms(t)
         key = f"sharded_{shape[0]}x{shape[1]}_ms_per_step"
@@ -89,7 +101,8 @@ def main():
         )
 
     os.makedirs(ART, exist_ok=True)
-    with open(os.path.join(ART, "sharded_bench.json"), "w") as f:
+    out = os.path.join(ART, f"sharded_bench_{jax.default_backend()}.json")
+    with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result, indent=1))
 
