@@ -106,6 +106,7 @@ class AccuracyEvaluator:
         apk_k: int = 50,
         pad_multiple: int = 512,
         embed_fn=None,
+        score_chunk: int = 65536,
     ):
         """``embed_fn``: optional ``(params, device_graph) -> embeddings``
         override — pass ``trainer.embed_fn`` when evaluating a
@@ -115,6 +116,11 @@ class AccuracyEvaluator:
         self.splits = splits
         self.apk_k = apk_k
         self.pad_multiple = pad_multiple
+        # Batches above pad_multiple are scored in fixed-size chunks:
+        # ONE scorer compilation (per edge type) serves any eval size,
+        # instead of a fresh XLA compile per distinct padded length
+        # (remote compiles at 963-relation holdout sizes ran minutes).
+        self.score_chunk = score_chunk
         self._embed = embed_fn if embed_fn is not None else make_embed_fn(model)
         # Device-resident padded (ks, rows, cols) per holdout set: the
         # splits are static across evaluations, so the index arrays are
@@ -139,23 +145,21 @@ class AccuracyEvaluator:
         batches: List[Tuple[int, np.ndarray]],
         cache_key=None,
     ):
-        """Padded (ks, rows, cols, counts) for a batch list, staged on
-        device (cached under ``cache_key`` when given)."""
+        """Chunked (ks, rows, cols, counts) for a batch list, staged on
+        device as ``[n_chunks, score_chunk]`` arrays (cached under
+        ``cache_key`` when given) — the scorer compiles ONCE at the
+        chunk shape for every eval size."""
         if cache_key is not None and cache_key in self._staged:
             return self._staged[cache_key]
         import jax.numpy as jnp
 
+        chunk = self.score_chunk
         counts = [e.shape[0] for _, e in batches]
         total = sum(counts)
-        padded = max(
-            self.pad_multiple,
-            (
-                (total + self.pad_multiple - 1) // self.pad_multiple
-            ) * self.pad_multiple,
-        )
-        ks = np.zeros(padded, dtype=np.int32)
-        rows = np.zeros(padded, dtype=np.int32)
-        cols = np.zeros(padded, dtype=np.int32)
+        n_chunks = max(1, -(-total // chunk))
+        ks = np.zeros(n_chunks * chunk, dtype=np.int32)
+        rows = np.zeros(n_chunks * chunk, dtype=np.int32)
+        cols = np.zeros(n_chunks * chunk, dtype=np.int32)
         at = 0
         for k, edges in batches:
             n = edges.shape[0]
@@ -165,7 +169,10 @@ class AccuracyEvaluator:
                 cols[at : at + n] = edges[:, 1]
             at += n
         staged = (
-            jnp.asarray(ks), jnp.asarray(rows), jnp.asarray(cols), counts
+            jnp.asarray(ks.reshape(n_chunks, chunk)),
+            jnp.asarray(rows.reshape(n_chunks, chunk)),
+            jnp.asarray(cols.reshape(n_chunks, chunk)),
+            counts,
         )
         if cache_key is not None:
             self._staged[cache_key] = staged
@@ -179,16 +186,19 @@ class AccuracyEvaluator:
         batches: List[Tuple[int, np.ndarray]],
         cache_key=None,
     ) -> List[np.ndarray]:
-        """Score many relations' edge lists in one padded dispatch.
+        """Score many relations' edge lists in chunked dispatches.
 
         ``batches``: [(k, edges[N,2])]; returns per-entry prob arrays in
         the same order."""
         if sum(e.shape[0] for _, e in batches) == 0:
             return [np.empty((0,), np.float32) for _ in batches]
         ks, rows, cols, counts = self._stage(batches, cache_key)
-        probs = np.asarray(
-            self._score_fns[edge_type](params, embeddings, ks, rows, cols)
-        )
+        fn = self._score_fns[edge_type]
+        parts = [
+            fn(params, embeddings, ks[i], rows[i], cols[i])
+            for i in range(ks.shape[0])
+        ]
+        probs = np.concatenate([np.asarray(p) for p in parts])
         out = []
         at = 0
         for n in counts:

@@ -127,6 +127,16 @@ class Trainer:
 
             self.params, self.opt_state = _init(init_rng)
             self.global_step = 0
+        if mesh is not None:
+            # Commit replicated state to the mesh up front: the sharded
+            # step's outputs carry NamedSharding(mesh, P()), so without
+            # this the second call of every edge type's step recompiles
+            # for the new input shardings.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(mesh, PartitionSpec())
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
         self.iteration_hook = iteration_hook
         self.epoch_hook = epoch_hook
         self._chunk_fn = None

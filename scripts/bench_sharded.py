@@ -41,15 +41,18 @@ ART = os.path.join(
 )
 
 
-def steady_ms(trainer, steps=30):
+def steady_ms(trainer, steps=30, warmup=12):
+    # Warm up TWO full round-robin cycles: every edge type's step
+    # compiles twice (first call + a donated-output resharding
+    # recompile) before anything is timed.
     batches = []
-    while len(batches) < 2 * steps:
+    while len(batches) < warmup + steps:
         batches.extend(trainer.scheduler.epoch())
-    for b in batches[:3]:  # compile all edge-type branches it will see
+    for b in batches[:warmup]:
         trainer.train_batch(b)
     jax.block_until_ready(trainer.params)
     times = []
-    for b in batches[3 : 3 + steps]:
+    for b in batches[warmup : warmup + steps]:
         t0 = time.perf_counter()
         trainer.train_batch(b)
         jax.block_until_ready(trainer.params)
