@@ -49,3 +49,25 @@ def test_dummy_config_learns_into_reference_band():
         "trajectory (expect ~0.65-0.67; full 50-epoch run reaches ~0.76)"
     )
     assert after.auroc > before.auroc + 0.05
+
+
+def test_converged_artifacts_checked_in():
+    """The converged-quality artifacts (scripts/quality_run.py) exist and
+    their final pooled test AUROC meets the reference band floor
+    (VERDICT round-1 item 5)."""
+    import csv
+    import os
+
+    art = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "quality",
+    )
+    for name in ("dummy_metrics.csv", "poly50_metrics.csv"):
+        path = os.path.join(art, name)
+        assert os.path.exists(path), f"missing quality artifact {name}"
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        assert rows, f"{name} is empty"
+        assert float(rows[-1]["TestAUROC"]) >= 0.74, (
+            f"{name} final TestAUROC {rows[-1]['TestAUROC']} < 0.74"
+        )
