@@ -89,37 +89,34 @@ def main():
     et = (1, 1)
 
     @jax.jit
-    def fwd(params):
-        return model.embeddings(params, dg, deterministic=True)
+    def fwd(params, g):
+        return model.embeddings(params, g, deterministic=True)
 
     @jax.jit
-    def fwd_drop(params, rng):
-        return model.embeddings(params, dg, rng, deterministic=False)
+    def fwd_drop(params, g, rng):
+        return model.embeddings(params, g, rng, deterministic=False)
 
-    def loss_fn(params, rng):
+    def loss_fn(params, g, rng):
         enc_rng, sample_rng = jax.random.split(rng)
-        emb = model.embeddings(params, dg, enc_rng, deterministic=False)
-        pos = model.score_edges(params, dg, emb, et, k, rows, cols)
+        emb = model.embeddings(params, g, enc_rng, deterministic=False)
+        pos = model.score_edges(params, g, emb, et, k, rows, cols)
         neg_rows = sample_unigram(
-            sample_rng, dg.neg_cdf["1,1"][k], cfg.batch_size
+            sample_rng, g.neg_cdf["1,1"][k], cfg.batch_size
         )
-        neg = model.score_edges(params, dg, emb, et, k, neg_rows, cols)
+        neg = model.score_edges(params, g, emb, et, k, neg_rows, cols)
         return LOSSES["hinge"](pos, neg, cfg.margin)
 
-    fwd_bwd = jax.jit(jax.value_and_grad(loss_fn))
-
-    @jax.jit
-    def full_step(params, opt_state, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, rng)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax_apply(params, updates), opt_state, loss
+    fwd_bwd = jax.jit(jax.value_and_grad(loss_fn, argnums=0))
 
     import optax
 
-    def optax_apply(params, updates):
-        return optax.apply_updates(params, updates)
+    @jax.jit
+    def full_step(params, opt_state, g, rng):
+        loss, grads = jax.value_and_grad(loss_fn, argnums=0)(params, g, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
 
-    _, grads = fwd_bwd(params, rng)
+    _, grads = fwd_bwd(params, dg, rng)
     jax.block_until_ready(grads)
 
     @jax.jit
@@ -128,11 +125,11 @@ def main():
         return optax.apply_updates(params, updates), opt_state
 
     result = {
-        "fwd_ms": round(timed(fwd, params), 3),
-        "fwd_drop_ms": round(timed(fwd_drop, params, rng), 3),
-        "fwd_bwd_ms": round(timed(fwd_bwd, params, rng), 3),
+        "fwd_ms": round(timed(fwd, params, dg), 3),
+        "fwd_drop_ms": round(timed(fwd_drop, params, dg, rng), 3),
+        "fwd_bwd_ms": round(timed(fwd_bwd, params, dg, rng), 3),
         "adam_only_ms": round(timed(adam_only, params, opt_state, grads), 3),
-        "full_step_ms": round(timed(full_step, params, opt_state, rng), 3),
+        "full_step_ms": round(timed(full_step, params, opt_state, dg, rng), 3),
     }
     os.makedirs(ART, exist_ok=True)
     with open(os.path.join(ART, "fullscale_step_profile.json"), "w") as f:
