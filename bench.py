@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from decagon_tpu.timing import hard_sync
+
 REFERENCE_ITER_LATENCY_S = 0.0055  # decagon_iteration_results_0.csv Latency
 HBM_PEAK_GBPS = 819.0  # v5e
 
@@ -50,13 +52,13 @@ def _steady_state_ms(trainer, chunk: int, windows: int = 5) -> dict:
     need = chunk * (windows + 2)
     while len(batches) < need:
         batches.extend(trainer.scheduler.epoch())
-    jax.block_until_ready(trainer.train_chunk(batches[:chunk], chunk))
+    hard_sync(trainer.train_chunk(batches[:chunk], chunk))
     times = []
     for rep in range(windows):
         lo = chunk * (1 + rep)
         start = time.perf_counter()
         trainer.train_chunk(batches[lo : lo + chunk], chunk)
-        jax.block_until_ready(trainer.params)
+        hard_sync(trainer.params)
         times.append((time.perf_counter() - start) / chunk)
     return {
         "min_ms": min(times) * 1e3,

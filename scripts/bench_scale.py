@@ -64,7 +64,7 @@ def main() -> None:
 
         print(f"# [{impl}] device graph built ({build_s:.1f}s); compiling",
               flush=True)
-        jax.block_until_ready(
+        __import__('decagon_tpu.timing', fromlist=['hard_sync']).hard_sync(
             trainer.train_chunk(batches[:chunk], chunk)
         )  # warmup/compile
         print(f"# [{impl}] compiled ({time.perf_counter() - t_build:.1f}s)",
@@ -73,7 +73,7 @@ def main() -> None:
         start = time.perf_counter()
         for i in range(chunk, chunk + n_timed, chunk):
             trainer.train_chunk(batches[i : i + chunk], chunk)
-        jax.block_until_ready(trainer.params)
+        __import__('decagon_tpu.timing', fromlist=['hard_sync']).hard_sync(trainer.params)
         step_ms = (time.perf_counter() - start) / n_timed * 1e3
         print(
             json.dumps(

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from decagon_tpu.timing import hard_sync
+
 from decagon_tpu.graph.device import build_device_graph
 from decagon_tpu.graph.split import split_graph
 from decagon_tpu.graph.synthetic import make_polypharmacy_like_graph
@@ -50,12 +52,12 @@ def steady_ms(trainer, steps=30, warmup=12):
         batches.extend(trainer.scheduler.epoch())
     for b in batches[:warmup]:
         trainer.train_batch(b)
-    jax.block_until_ready(trainer.params)
+    hard_sync(trainer.params)
     times = []
     for b in batches[warmup : warmup + steps]:
         t0 = time.perf_counter()
         trainer.train_batch(b)
-        jax.block_until_ready(trainer.params)
+        hard_sync(trainer.params)
         times.append(time.perf_counter() - t0)
     return float(np.median(times) * 1e3)
 

@@ -130,7 +130,8 @@ def main():
             break
     t = stage(f"sampled {len(batches)} batches", t)
 
-    jax.block_until_ready(trainer.train_chunk(batches[: args.chunk], args.chunk))
+    from decagon_tpu.timing import hard_sync
+    hard_sync(trainer.train_chunk(batches[: args.chunk], args.chunk))
     t = stage("compile + first chunk", t)
     print("HBM after first step:", hbm_stats())
 
@@ -143,7 +144,7 @@ def main():
         lo = args.chunk * (1 + i)
         start = time.perf_counter()
         trainer.train_chunk(batches[lo : lo + args.chunk], args.chunk)
-        jax.block_until_ready(trainer.params)
+        hard_sync(trainer.params)
         times.append(time.perf_counter() - start)
     per_step = min(times) / args.chunk
     print(

@@ -41,16 +41,7 @@ ART = os.path.join(
 )
 
 
-def timed(fn, *args, reps=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+from decagon_tpu.timing import timed_ms as timed  # hard-synced
 
 
 def main():
@@ -116,8 +107,9 @@ def main():
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    from decagon_tpu.timing import hard_sync
     _, grads = fwd_bwd(params, dg, rng)
-    jax.block_until_ready(grads)
+    hard_sync(grads)
 
     @jax.jit
     def adam_only(params, opt_state, grads):

@@ -36,14 +36,17 @@ ART = os.path.join(
 )
 
 
+from decagon_tpu.timing import hard_sync
+
+
 def timed(fn, *args, reps=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        hard_sync(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
 
@@ -62,7 +65,7 @@ def main():
         build_fused=False,
     )
     model = DecagonModel(ModelConfig(spmm_impl="auto"), dg)
-    params = model.init_params(jax.random.PRNGKey(0), dg)
+    params = jax.jit(lambda r: model.init_params(r, dg))(jax.random.PRNGKey(0))
     ev = AccuracyEvaluator(model, graph, splits)
 
     # Encoder forward (once per evaluation); force a dependent scalar so
