@@ -34,7 +34,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import sys
 import time
+
+
+def _progress(msg: str) -> None:
+    """Stage progress on stderr (stdout stays the single JSON line)."""
+    print(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 import jax
 import jax.numpy as jnp
@@ -140,6 +149,7 @@ def bench_fullscale() -> dict:
         build_fused=False,  # the fused stream isn't used at this scale
     )
     build_s = time.perf_counter() - build_t0
+    _progress(f"full-scale device graph built ({build_s:.0f}s); compiling dense trainer")
     nnz = _graph_nnz(device_graph)
     dense_gb = sum(
         a.dense.size * a.dense.dtype.itemsize
@@ -156,6 +166,7 @@ def bench_fullscale() -> dict:
     )
     trainer = Trainer(model_dense, graph, splits, device_graph, cfg, seed=0)
     t_dense = _steady_state_ms(trainer, 20, windows=5)
+    _progress("dense timed; compiling pallas trainer")
     dense = _config_metrics(nnz, t_dense)
     # Memory-bound roofline: the dense stacks are read once per SpMM
     # application (4 per step: 2 layers x fwd+bwd).
@@ -202,8 +213,11 @@ def bench_fullscale() -> dict:
 
 
 def main() -> None:
+    _progress("toy config: build + compile + time")
     toy = bench_toy()
+    _progress("toy done; full-scale config: host graph build")
     full = bench_fullscale()
+    _progress("full-scale done")
 
     headline = full["full_dense_bf16"]
     # Reference effective edges/s: its toy-workload nnz over its published

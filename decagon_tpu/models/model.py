@@ -41,6 +41,11 @@ class ModelConfig:
     # decomposition) or "default" (single-pass bf16, ~2x faster,
     # fp32 accumulation).
     spmm_precision: str = "highest"
+    # Eval-scale decoder scoring: "jnp" (XLA gather + einsum), "pallas"
+    # (fused-gather VMEM kernel, decoder/table-size permitting — see
+    # decagon_tpu.ops.sddmm_pallas), or "auto" (pallas on accelerator
+    # backends where supported, jnp otherwise).
+    sddmm_impl: str = "jnp"
 
 
 class DecagonModel:

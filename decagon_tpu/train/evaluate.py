@@ -194,11 +194,9 @@ class AccuracyEvaluator:
             return [np.empty((0,), np.float32) for _ in batches]
         ks, rows, cols, counts = self._stage(batches, cache_key)
         fn = self._score_fns[edge_type]
-        parts = [
-            fn(params, embeddings, ks[i], rows[i], cols[i])
-            for i in range(ks.shape[0])
-        ]
-        probs = np.concatenate([np.asarray(p) for p in parts])
+        # All chunks in ONE dispatch (lax.map inside the jitted scorer):
+        # one host->device round trip per eval regardless of holdout size.
+        probs = np.asarray(fn(params, embeddings, ks, rows, cols)).reshape(-1)
         out = []
         at = 0
         for n in counts:

@@ -254,28 +254,66 @@ def make_embed_fn(model: DecagonModel) -> Callable:
 
 def make_emb_scores(model: DecagonModel, edge_type: EdgeType) -> Callable:
     """Jitted deterministic scorer over PRECOMPUTED embeddings with a
-    per-edge relation index: ``scores(params, embeddings, ks[B], rows[B],
-    cols[B]) -> sigmoid probabilities [B]``.
+    per-edge relation index: ``scores(params, embeddings, ks, rows, cols)
+    -> sigmoid probabilities`` (same shape as ``ks``).
 
     ONE dispatch scores held-out batches spanning MANY relations of the
     edge type — the encoder runs once per evaluation instead of once per
     relation (the reference recomputed a dense per-relation
     ``predictions`` matrix each time, ``DecagonAccuracyEvaluator.py:
     57-91``; sampled scoring keeps the semantics on the scored entries).
+
+    Index arrays may be flat ``[B]`` or chunked ``[n_chunks, C]``: chunked
+    inputs are scored with a ``lax.map`` over the leading dim inside the
+    SAME dispatch, so an arbitrarily large eval costs one host->device
+    round trip (per-chunk dispatch + readback dominated warm eval latency
+    on remote-attached chips) while compilation stays keyed to the chunk
+    shape, never to the raw holdout size.
     """
     from decagon_tpu.models import decoders as dec
+    from decagon_tpu.ops import sddmm_pallas as sp
 
     name = model.graph_meta.decoder_name(edge_type)
     et_key = etkey(edge_type)
     row_t, col_t = str(edge_type[0]), str(edge_type[1])
+    gm = model.graph_meta
+    impl = getattr(model.config, "sddmm_impl", "jnp")
+    use_pallas = (
+        impl in ("pallas", "auto")
+        and (impl == "pallas" or jax.default_backend() != "cpu")
+        and sp.supports(
+            name,
+            gm.num_nodes[edge_type[0]],
+            gm.num_nodes[edge_type[1]],
+            gm.num_relations(edge_type),
+            model.config.hidden2,
+        )
+    )
 
     @jax.jit
     def scores(params, embeddings, ks, rows, cols):
-        z_rows = embeddings[row_t][rows]
-        z_cols = embeddings[col_t][cols]
-        logits = dec.score_edges(
-            params["dec"][et_key], name, ks, z_rows, z_cols
-        )
-        return jax.nn.sigmoid(logits)
+        if use_pallas:
+            dp = params["dec"][et_key]
+            logits = sp.sddmm_pallas_edges(
+                embeddings[row_t], embeddings[col_t], ks, rows, cols,
+                name=name,
+                glb=dp.get("global"),
+                rel_diag=dp.get("local_diag", dp.get("relation_diag")),
+                interpret=jax.default_backend() == "cpu",
+            )
+            return jax.nn.sigmoid(logits)
+
+        def one(args):
+            k, r, c = args
+            z_rows = embeddings[row_t][r]
+            z_cols = embeddings[col_t][c]
+            logits = dec.score_edges(
+                params["dec"][et_key], name, k, z_rows, z_cols
+            )
+            return jax.nn.sigmoid(logits)
+
+        if ks.ndim == 1:
+            return one((ks, rows, cols))
+        return jax.lax.map(one, (ks, rows, cols))
 
     return scores
