@@ -178,16 +178,6 @@ def bench_fullscale() -> dict:
     if on_accel:
         from decagon_tpu.ops.tiling import tiling_stats
 
-        model_pallas = DecagonModel(
-            ModelConfig(hidden1=64, hidden2=32, dropout=0.1, spmm_impl="pallas"),
-            device_graph,
-        )
-        trainer_p = Trainer(
-            model_pallas, graph, splits, device_graph, cfg, seed=0,
-            init_state=trainer.state_dict(),
-        )
-        t_pallas = _steady_state_ms(trainer_p, 20, windows=3)
-        pallas = _config_metrics(nnz, t_pallas)
         # Executed (one-hot formulation) MXU FLOPs: 2*C*Hpad*(S+R) per
         # tile, fwd+bwd tilings, once per layer per direction.
         exec_flops = 0
@@ -200,15 +190,39 @@ def bench_fullscale() -> dict:
                     2 * 2 * tiles.num_tiles * tiles.tile_c * h_pad
                     * (tiles.block_s + tiles.block_r)
                 )
-        pallas["executed_mxu_tflops"] = round(
-            exec_flops / (t_pallas["min_ms"] / 1e3) / 1e12, 2
-        )
-        pallas["occupancy"] = {
+        occupancy = {
             key: round(tiling_stats(a.tiles_fwd)["occupancy"], 3)
             for key, a in device_graph.adj.items()
             if a.tiles_fwd is not None
         }
-        out["full_pallas_f32"] = pallas
+        # bf16 single-pass MXU (fp32 accumulation) is the kernel's
+        # production mode; fp32 (HIGHEST, 6-pass) kept for comparison.
+        for tag, precision, windows in (
+            ("full_pallas_bf16", "default", 5),
+            ("full_pallas_f32", "highest", 3),
+        ):
+            model_pallas = DecagonModel(
+                ModelConfig(
+                    hidden1=64, hidden2=32, dropout=0.1,
+                    spmm_impl="pallas", spmm_precision=precision,
+                ),
+                device_graph,
+            )
+            trainer_p = Trainer(
+                model_pallas, graph, splits, device_graph, cfg, seed=0,
+                init_state=jax.tree.map(jnp.copy, trainer.state_dict()),
+            )
+            t_pallas = _steady_state_ms(trainer_p, 20, windows=windows)
+            pallas = _config_metrics(nnz, t_pallas)
+            pallas["executed_mxu_tflops"] = round(
+                exec_flops / (t_pallas["min_ms"] / 1e3) / 1e12, 2
+            )
+            pallas["vs_dense"] = round(
+                t_pallas["min_ms"] / t_dense["min_ms"], 2
+            )
+            pallas["occupancy"] = occupancy
+            out[tag] = pallas
+            _progress(f"{tag} timed")
     return out
 
 
@@ -220,16 +234,22 @@ def main() -> None:
     _progress("full-scale done")
 
     headline = full["full_dense_bf16"]
-    # Reference effective edges/s: its toy-workload nnz over its published
-    # per-iteration latency (the only number it ever recorded).
-    ref_edges_per_s = toy["nnz"] / REFERENCE_ITER_LATENCY_S
+    # vs_baseline is LIKE-FOR-LIKE: our toy-config ms/step against the
+    # reference's published ~5.5 ms/iter on the SAME dummy workload
+    # (decagon_iteration_results_0.csv Latency; the only latency the
+    # reference ever recorded).  Cross-config ratios were misleading and
+    # are no longer headlined (VERDICT r2 item 9).
     print(
         json.dumps(
             {
                 "metric": "fullscale_train_step_edges_per_s_per_chip",
                 "value": headline["edges_per_s"],
                 "unit": "edges/s",
-                "vs_baseline": round(headline["edges_per_s"] / ref_edges_per_s, 3),
+                "vs_baseline": round(
+                    REFERENCE_ITER_LATENCY_S * 1e3
+                    / toy["ms_per_step_min"], 3
+                ),
+                "hbm_roofline_fraction": headline.get("hbm_util"),
                 "configs": {
                     "toy_dense": toy,
                     **full,
@@ -237,10 +257,12 @@ def main() -> None:
                 "note": (
                     "headline = 963-relation/19081-protein/12.1M-edge "
                     "polypharmacy-scale train step (fwd+bwd+Adam), bf16 "
-                    "dense-stack dispatch; full_pallas_f32 = same workload "
-                    "through the tiled Pallas kernel (the path when stacks "
-                    "exceed HBM); vs_baseline vs reference toy-workload "
-                    "edges/s at its 0.0055 s/iter"
+                    "dense-stack dispatch; hbm_roofline_fraction = stack "
+                    "bytes x 4 passes / step time vs 819 GB/s; full_pallas_* "
+                    "= same workload through the tiled Pallas kernel (the "
+                    "path when stacks exceed HBM); vs_baseline = reference "
+                    "5.5 ms/iter over our ms/step on the SAME toy workload "
+                    "(like-for-like)"
                 ),
             }
         )

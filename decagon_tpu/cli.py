@@ -245,8 +245,15 @@ def train_once(
 
         jax.profiler.start_trace(profile_dir)
     if learner is not None and hasattr(learner, "scorer"):
-        # Wire the greedy learner to the live model.
-        import jax.numpy as jnp
+        # Wire the greedy learner to the live model: ONE encoder forward
+        # + one chunked scoring dispatch per selection round, regardless
+        # of relation count (VERDICT r2 item 8 — the per-relation scorer
+        # recomputed the full forward and re-staged indices per call).
+        def batch_scorer(batches):
+            emb = evaluator.embeddings(trainer.params, trainer.device_graph)
+            return evaluator._probs_flat(
+                trainer.params, emb, (1, 1), batches
+            )
 
         def scorer(k: int, edges: np.ndarray) -> np.ndarray:
             return evaluator._probs(
@@ -254,6 +261,8 @@ def train_once(
             )
 
         learner.scorer = scorer
+        if hasattr(learner, "batch_scorer"):
+            learner.batch_scorer = batch_scorer
     try:
         trainer.train()
     finally:

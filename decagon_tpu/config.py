@@ -79,6 +79,7 @@ class Config:
             dropout=float(self.get("dropout", 0.1)),
             spmm_impl=str(self.get("SpmmImpl", "auto")),
             spmm_precision=str(self.get("SpmmPrecision", "highest")),
+            sddmm_impl=str(self.get("SddmmImpl", "auto")),
         )
 
     def train_config(self) -> TrainConfig:

@@ -161,7 +161,7 @@ def build_device_graph(
     splits: Dict[RelationKey, EdgeSplit],
     edge_pad_multiple: int = 1024,
     tile_for_pallas: bool = False,
-    tile_block: int = 256,
+    tile_block: int = 0,
     densify_max_cells: int = 8_000_000,
     dense_dtype=np.float32,
     tile_even_if_dense: bool = False,
@@ -232,11 +232,11 @@ def build_device_graph(
             )
             tiles_fwd = build_tiles(
                 flat_src, receivers, vals, flat_src_space, n_rows_i,
-                block_r=tile_block, block_s=tile_block, tile_c=tile_block,
+                block_r=0, block_s=0, tile_c=tile_block,
             )
             tiles_bwd = build_tiles(
                 receivers, flat_src, vals, n_rows_i, flat_src_space,
-                block_r=tile_block, block_s=tile_block, tile_c=tile_block,
+                block_r=0, block_s=0, tile_c=tile_block,
             )
 
         adj[etkey((i, j))] = EdgeTypeAdj(
@@ -307,11 +307,11 @@ def build_device_graph(
         if tile_for_pallas and (any_tiled or tile_even_if_dense):
             fused_tiles_fwd = build_tiles(
                 src, dst, vals, p_start, t_start,
-                block_r=tile_block, block_s=tile_block, tile_c=tile_block,
+                block_r=0, block_s=0, tile_c=tile_block,
             )
             fused_tiles_bwd = build_tiles(
                 dst, src, vals, t_start, p_start,
-                block_r=tile_block, block_s=tile_block, tile_c=tile_block,
+                block_r=0, block_s=0, tile_c=tile_block,
             )
         fused = FusedAdj(
             src=jnp.asarray(src, jnp.int32),

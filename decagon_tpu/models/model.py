@@ -43,9 +43,10 @@ class ModelConfig:
     spmm_precision: str = "highest"
     # Eval-scale decoder scoring: "jnp" (XLA gather + einsum), "pallas"
     # (fused-gather VMEM kernel, decoder/table-size permitting — see
-    # decagon_tpu.ops.sddmm_pallas), or "auto" (pallas on accelerator
-    # backends where supported, jnp otherwise).
-    sddmm_impl: str = "jnp"
+    # decagon_tpu.ops.sddmm_pallas), or "auto" (the Pallas kernel on the
+    # TPU backend where supported — the Mosaic lowering is TPU-only —
+    # jnp everywhere else).
+    sddmm_impl: str = "auto"
 
 
 class DecagonModel:

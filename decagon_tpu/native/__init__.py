@@ -140,9 +140,9 @@ def build_tiles_arrays(
     block_s: int,
     tile_c: int,
     num_dst_blocks: int,
-    num_src_blocks: int,
+    n_src_pad: int,
 ):
-    """Returns (packed [T,4,C], src_block [T], row_ptr [B+1]) or None."""
+    """Returns (packed [T,4,C], src_start [T], row_ptr [B+1]) or None."""
     lib = get_library()
     if lib is None:
         return None
@@ -151,7 +151,7 @@ def build_tiles_arrays(
     vals = np.ascontiguousarray(vals, np.float32)
     num_tiles = lib.dt_tiles_prepare(
         src, dst, vals, len(src), block_r, block_s, tile_c,
-        num_dst_blocks, num_src_blocks,
+        num_dst_blocks, n_src_pad,
     )
     if num_tiles < 0:
         return None
@@ -167,12 +167,12 @@ def build_tiles_arrays(
             row_ptr,
         )
     packed = np.zeros((num_tiles, 4, tile_c), np.int32)
-    src_block = np.zeros(num_tiles, np.int32)
+    src_start = np.zeros(num_tiles, np.int32)
     row_ptr = np.zeros(num_dst_blocks + 1, np.int32)
     lib.dt_tiles_fill(
-        packed.reshape(-1), src_block, row_ptr
+        packed.reshape(-1), src_start, row_ptr
     )
-    return packed, src_block, row_ptr
+    return packed, src_start, row_ptr
 
 
 def parse_edge_csv(

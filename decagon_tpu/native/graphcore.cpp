@@ -50,7 +50,9 @@ struct Rng {
 struct TileState {
   std::vector<int64_t> src, dst;
   std::vector<float> vals;
-  std::vector<int64_t> group_start;  // group boundaries after sort
+  std::vector<int64_t> tile_start;   // per-tile first-edge index
+  std::vector<int64_t> tile_window;  // per-tile source-window start row
+  std::vector<int64_t> tile_dblock;  // per-tile dst block
   int64_t block_r = 0, block_s = 0, tile_c = 0;
   int64_t num_dst_blocks = 0;
   int64_t num_tiles = 0;
@@ -148,15 +150,18 @@ int64_t dt_normalize_rect(
 }
 
 // ---------------------------------------------------------------------
-// 2D edge tiling (two-call protocol).
-// Call dt_tiles_prepare first: sorts edges by (dst_block, src_block)
-// and returns the tile count.  Then dt_tiles_fill writes the packed
-// tile array [T, 4, C] (src_local | dst_local | f32-bitcast vals | pad),
-// per-tile source-block ids [T], and row_ptr [num_dst_blocks + 1].
+// Windowed 2D edge tiling (two-call protocol).
+// Call dt_tiles_prepare first: sorts edges by (dst_block, src), greedily
+// packs tiles of <= tile_c edges whose sources fit one block_s-row
+// window (start 8-aligned, clamped to n_src_pad - block_s), and returns
+// the tile count.  Then dt_tiles_fill writes the packed tile array
+// [T, 4, C] (src_local | dst_local | f32-bitcast vals | pad), per-tile
+// window starts [T], and row_ptr [num_dst_blocks + 1].  Layout matches
+// the Python fallback in decagon_tpu/ops/tiling.py bit for bit.
 int64_t dt_tiles_prepare(
     const int64_t* src, const int64_t* dst, const float* vals,
     int64_t n_edges, int64_t block_r, int64_t block_s, int64_t tile_c,
-    int64_t num_dst_blocks, int64_t num_src_blocks) {
+    int64_t num_dst_blocks, int64_t n_src_pad) {
   TileState& st = g_tiles;
   st.block_r = block_r;
   st.block_s = block_s;
@@ -168,12 +173,13 @@ int64_t dt_tiles_prepare(
   for (int64_t i = 0; i < n_edges; ++i)
     if (vals[i] != 0.0f) order.push_back(i);
 
-  // stable_sort keeps original order on (key, src) ties, matching the
-  // Python path's np.lexsort exactly (tile contents are order-invariant
-  // for the kernel, but bitwise-identical tilings simplify testing).
+  // stable_sort keeps original order on (dst_block, src) ties, matching
+  // the Python path's np.lexsort exactly (tile contents are
+  // order-invariant for the kernel, but bitwise-identical tilings
+  // simplify testing).
   std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-    const int64_t ka = (dst[a] / block_r) * num_src_blocks + src[a] / block_s;
-    const int64_t kb = (dst[b] / block_r) * num_src_blocks + src[b] / block_s;
+    const int64_t ka = dst[a] / block_r;
+    const int64_t kb = dst[b] / block_r;
     if (ka != kb) return ka < kb;
     return src[a] < src[b];
   });
@@ -188,57 +194,50 @@ int64_t dt_tiles_prepare(
     st.vals[i] = vals[order[i]];
   }
 
-  st.group_start.clear();
-  st.num_tiles = 0;
-  int64_t prev_key = -1;
-  int64_t group_begin = 0;
-  auto close_group = [&](int64_t end) {
-    if (end > group_begin) {
-      for (int64_t s = group_begin; s < end; s += tile_c)
-        st.group_start.push_back(s);
-      st.num_tiles += (end - group_begin + tile_c - 1) / tile_c;
-    }
-    group_begin = end;
-  };
-  for (int64_t i = 0; i < m; ++i) {
-    const int64_t key =
-        (st.dst[i] / block_r) * num_src_blocks + st.src[i] / block_s;
-    if (key != prev_key) {
-      close_group(i);
-      prev_key = key;
-    }
+  st.tile_start.clear();
+  st.tile_window.clear();
+  st.tile_dblock.clear();
+  const int64_t max_ws = n_src_pad - block_s;
+  int64_t i = 0;
+  while (i < m) {
+    const int64_t db = st.dst[i] / block_r;
+    const int64_t ws = std::min(st.src[i] & ~int64_t(7), max_ws);
+    st.tile_start.push_back(i);
+    st.tile_window.push_back(ws);
+    st.tile_dblock.push_back(db);
+    int64_t j = i;
+    const int64_t cap = std::min(i + tile_c, m);
+    while (j < cap && st.dst[j] / block_r == db &&
+           st.src[j] < ws + block_s)
+      ++j;
+    i = j;
   }
-  close_group(m);
-  // Sentinel so fill can compute per-tile edge counts.
-  st.group_start.push_back(m);
-  if (st.num_tiles == 0) st.num_tiles = 0;
+  st.tile_start.push_back(m);  // sentinel
+  st.num_tiles = static_cast<int64_t>(st.tile_window.size());
   return st.num_tiles;
 }
 
 int64_t dt_tiles_fill(
-    int32_t* out_packed, int32_t* out_src_block, int32_t* out_row_ptr) {
+    int32_t* out_packed, int32_t* out_src_start, int32_t* out_row_ptr) {
   TileState& st = g_tiles;
   const int64_t c = st.tile_c;
-  const int64_t m = static_cast<int64_t>(st.src.size());
   std::vector<int64_t> db_counts(st.num_dst_blocks, 0);
 
   for (int64_t t = 0; t < st.num_tiles; ++t) {
-    const int64_t begin = st.group_start[t];
-    // Tile extends to the next tile start or this group's end — the
-    // group_start vector already chunks groups by tile_c, and the
-    // sentinel closes the last one.
-    const int64_t next = st.group_start[t + 1];
-    const int64_t end = std::min(begin + c, next > begin ? next : begin + c);
+    const int64_t begin = st.tile_start[t];
+    const int64_t end = st.tile_start[t + 1];
+    const int64_t ws = st.tile_window[t];
+    const int64_t db = st.tile_dblock[t];
     int32_t* p = out_packed + t * 4 * c;
     std::memset(p, 0, sizeof(int32_t) * 4 * c);
     for (int64_t i = begin; i < end; ++i) {
       const int64_t off = i - begin;
-      p[off] = static_cast<int32_t>(st.src[i] % st.block_s);
-      p[c + off] = static_cast<int32_t>(st.dst[i] % st.block_r);
+      p[off] = static_cast<int32_t>(st.src[i] - ws);
+      p[c + off] = static_cast<int32_t>(st.dst[i] - db * st.block_r);
       std::memcpy(&p[2 * c + off], &st.vals[i], sizeof(float));
     }
-    out_src_block[t] = static_cast<int32_t>(st.src[begin] / st.block_s);
-    db_counts[st.dst[begin] / st.block_r] += 1;
+    out_src_start[t] = static_cast<int32_t>(ws);
+    db_counts[db] += 1;
   }
   out_row_ptr[0] = 0;
   for (int64_t b = 0; b < st.num_dst_blocks; ++b)
@@ -247,7 +246,6 @@ int64_t dt_tiles_fill(
   // Release memory.
   TileState empty;
   std::swap(g_tiles, empty);
-  (void)m;
   return 0;
 }
 

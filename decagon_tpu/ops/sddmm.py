@@ -44,12 +44,22 @@ def sddmm_pairs(
         left = left * ld
         right = right * ld
     if glb is not None:
+        # precision HIGHEST: on TPU the default precision would run the
+        # MXU in bf16 passes, making compiled jnp scores diverge from the
+        # Pallas kernel (which fixes HIGHEST) — the two eval paths must
+        # agree on hardware.
         if glb.ndim == 3:
             left = jnp.einsum(
-                "bd,bde->be", left, glb, preferred_element_type=jnp.float32
+                "bd,bde->be", left, glb,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
         else:
-            left = jnp.dot(left, glb, preferred_element_type=jnp.float32)
+            left = jnp.dot(
+                left, glb,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
     elif glb_diag is not None:
         gd = glb_diag if glb_diag.ndim == 2 else glb_diag[None, :]
         left = left * gd

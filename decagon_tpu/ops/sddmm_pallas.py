@@ -167,8 +167,17 @@ def sddmm_pallas_edges(
         ),
         out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
+            # dedicom runs one [t, L] x [L, L] MXU matmul per tile; the
+            # diagonal decoders are elementwise multiply + row reduction
+            # (~3 VPU ops per element) — no matmul term for them.
             flops=(b_pad // t)
-            * (2 * t * _LANES * _LANES if name == "dedicom" else 2 * t * _LANES),
+            * (
+                2 * t * _LANES * _LANES
+                if name == "dedicom"
+                else 3 * t * _LANES
+            ),
+            # Tables are loaded into VMEM once per launch (the block index
+            # map is constant), not per grid step.
             bytes_accessed=b_pad * 16 + sum(4 * tab.size for tab in tables),
             transcendentals=0,
         ),
@@ -178,10 +187,26 @@ def sddmm_pallas_edges(
 
 
 def supports(name: str, n_rows: int, n_cols: int, num_rel: int,
-             dim: int, max_table: int = 4096) -> bool:
-    """Static eligibility check for the kernel (see module docstring)."""
-    return (
-        name in SUPPORTED_DECODERS
-        and dim <= _LANES
-        and max(n_rows, n_cols, num_rel) <= max_table
-    )
+             dim: int, max_table: int = 4096,
+             vmem_budget: int = 12 * 1024 * 1024) -> bool:
+    """Static eligibility check for the kernel (see module docstring).
+
+    Bounds the VMEM footprint, not just the table height: the padded f32
+    tables (2-3 of [t, 128] + dedicom's [128, 128] global) stay resident
+    for the whole launch, and each grid step materializes ~5 gathered/
+    intermediate [t, 128] f32 arrays (zr/zc/dk/left/right) plus the
+    [t, 1]-brodcast index tiles — at t=4096 that approaches the ~16 MB
+    VMEM; 12 MB leaves headroom for Mosaic's own buffers."""
+    if name not in SUPPORTED_DECODERS or dim > _LANES:
+        return False
+    min_rows = max(n_rows, n_cols, num_rel if name != "innerproduct" else 0)
+    if min_rows > max_table:
+        return False
+    t = max(1024, _round_up(min_rows, 256))
+    n_tables = {"innerproduct": 2, "distmult": 3, "dedicom": 3}[name]
+    table_bytes = n_tables * t * _LANES * 4
+    if name == "dedicom":
+        table_bytes += _LANES * _LANES * 4
+    intermediate_bytes = 5 * t * _LANES * 4  # zr/zc/dk/left/right
+    idx_out_bytes = 4 * t * 4  # three index tiles + one out tile
+    return table_bytes + intermediate_bytes + idx_out_bytes <= vmem_budget

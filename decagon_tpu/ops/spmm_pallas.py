@@ -6,13 +6,14 @@ aggregation ``out[dst] += val * P_flat[src]`` (the hot op behind the two
 ``decagon/deep/layers.py:89-90,114``).
 
 Formulation: edges are pre-tiled on host (``decagon_tpu.ops.tiling``)
-into (dst-block x src-block) buckets of C edges.  Per tile the kernel
+into per-dst-block tiles of C src-sorted edges whose sources fit one
+dynamic ``block_s``-row window of the source space.  Per tile the kernel
 
   1. DMAs the tile's packed edge data and its source block of ``P_flat``
      from HBM into double-buffered VMEM scratch,
   2. builds a one-hot scatter of edge values against the source block by
      lane-aligned iota comparison (``S x C``; no transposes),
-  3. computes ``msgs[C, H] = src_oh^T @ src_block`` on the MXU,
+  3. computes ``msgs[C, H] = src_oh^T @ src_window`` on the MXU,
   4. accumulates ``out_block[R, H] += dst_oh @ msgs`` on the MXU,
 
 so the whole sparse aggregation becomes dense systolic-array work —
@@ -40,7 +41,7 @@ from decagon_tpu.ops.tiling import TiledEdges
 
 def _spmm_kernel(
     row_ptr_ref,  # SMEM [num_dst_blocks + 1] int32 (scalar prefetch)
-    src_block_ref,  # SMEM [T] int32 (scalar prefetch)
+    src_start_ref,  # SMEM [T] int32 (scalar prefetch): window start rows
     packed_hbm,  # HBM [T, 4, C] int32 (row 3 is alignment padding)
     p_hbm,  # HBM [M_pad, H] float32
     out_ref,  # VMEM [R, H] float32
@@ -67,9 +68,11 @@ def _spmm_kernel(
         )
 
     def src_dma(slot, t):
-        sb = src_block_ref[t]
+        # Dynamic source window: starts at the tile's own first source
+        # row (host guarantees 8-aligned, <= n_src_pad - block_s).
+        ws = pl.multiple_of(src_start_ref[t], 8)
         return pltpu.make_async_copy(
-            p_hbm.at[pl.ds(sb * block_s, s), :],
+            p_hbm.at[pl.ds(ws, s), :],
             src_buf.at[slot],
             src_sem.at[slot],
         )
@@ -171,7 +174,7 @@ def spmm_tiled(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(tiles.row_ptr, tiles.src_block, tiles.packed, p_flat)
+    )(tiles.row_ptr, tiles.src_start, tiles.packed, p_flat)
 
 
 _PRECISIONS = {

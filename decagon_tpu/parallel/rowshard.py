@@ -57,7 +57,7 @@ class StackedTiles:
     call."""
 
     packed: jax.Array  # int32 [S, T, 4, C]
-    src_block: jax.Array  # int32 [S, T]
+    src_start: jax.Array  # int32 [S, T]
     row_ptr: jax.Array  # int32 [S, num_dst_blocks + 1]
     n_dst: int = dataclasses.field(metadata=dict(static=True))
     n_src: int = dataclasses.field(metadata=dict(static=True))
@@ -69,7 +69,7 @@ class StackedTiles:
         """TiledEdges view of this device's shard (leading dim 1)."""
         return TiledEdges(
             packed=self.packed[0],
-            src_block=self.src_block[0],
+            src_start=self.src_start[0],
             row_ptr=self.row_ptr[0],
             n_dst=self.n_dst,
             n_src=self.n_src,
@@ -85,15 +85,15 @@ def _stack_tiles(per_shard: List[TiledEdges]) -> StackedTiles:
         (len(per_shard), t_max) + tuple(per_shard[0].packed.shape[1:]),
         np.int32,
     )
-    src_block = np.zeros((len(per_shard), t_max), np.int32)
+    src_start = np.zeros((len(per_shard), t_max), np.int32)
     row_ptr = np.stack([np.asarray(t.row_ptr) for t in per_shard])
     for s, t in enumerate(per_shard):
         packed[s, : t.num_tiles] = np.asarray(t.packed)
-        src_block[s, : t.num_tiles] = np.asarray(t.src_block)
+        src_start[s, : t.num_tiles] = np.asarray(t.src_start)
     first = per_shard[0]
     return StackedTiles(
         packed=packed,
-        src_block=src_block,
+        src_start=src_start,
         row_ptr=row_ptr.astype(np.int32),
         n_dst=first.n_dst,
         n_src=first.n_src,
@@ -172,7 +172,7 @@ def sharded_pspecs(graph: ShardedGraph, axes=AXES) -> ShardedGraph:
         if t is None:
             return None
         return StackedTiles(
-            packed=both, src_block=both, row_ptr=both,
+            packed=both, src_start=both, row_ptr=both,
             n_dst=t.n_dst, n_src=t.n_src,
             block_r=t.block_r, block_s=t.block_s, tile_c=t.tile_c,
         )
@@ -217,7 +217,7 @@ def build_sharded_device_graph(
     densify_max_cells_per_device: int = 8_000_000,
     dense_dtype=np.float32,
     tile_for_pallas: bool = False,
-    tile_block: int = 256,
+    tile_block: int = 0,
     tile_even_if_dense: bool = False,
 ) -> ShardedGraph:
     """Partition normalized train adjacencies over a (row, edge) mesh.
@@ -307,18 +307,18 @@ def build_sharded_device_graph(
                     sl_vals = val_a[b, e]
                     fwd_parts.append(build_tiles(
                         sl_flat, sl_recv, sl_vals, flat_space, nb,
-                        block_r=tile_block, block_s=tile_block,
+                        block_r=0, block_s=0,
                         tile_c=tile_block,
                     ))
                     bwd_parts.append(build_tiles(
                         sl_recv, sl_flat, sl_vals, nb, flat_space,
-                        block_r=tile_block, block_s=tile_block,
+                        block_r=0, block_s=0,
                         tile_c=tile_block,
                     ))
             st_f, st_b = _stack_tiles(fwd_parts), _stack_tiles(bwd_parts)
             tiles_fwd = StackedTiles(
                 packed=jax.device_put(st_f.packed, both),
-                src_block=jax.device_put(st_f.src_block, both),
+                src_start=jax.device_put(st_f.src_start, both),
                 row_ptr=jax.device_put(st_f.row_ptr, both),
                 n_dst=st_f.n_dst, n_src=st_f.n_src,
                 block_r=st_f.block_r, block_s=st_f.block_s,
@@ -326,7 +326,7 @@ def build_sharded_device_graph(
             )
             tiles_bwd = StackedTiles(
                 packed=jax.device_put(st_b.packed, both),
-                src_block=jax.device_put(st_b.src_block, both),
+                src_start=jax.device_put(st_b.src_start, both),
                 row_ptr=jax.device_put(st_b.row_ptr, both),
                 n_dst=st_b.n_dst, n_src=st_b.n_src,
                 block_r=st_b.block_r, block_s=st_b.block_s,

@@ -165,10 +165,13 @@ def make_sharded_train_step(
     graph_template: ShardedGraph,
     axes=AXES,
 ) -> Callable:
-    """Jitted ``step(params, opt_state, sharded_graph, k, rows, cols, rng)``.
+    """Jitted ``step(params, opt_state, sharded_graph, k, rows, cols,
+    base_rng, step_no)``.
 
     ``rows``/``cols`` are the full [batch_size] arrays, data-parallel over
-    all mesh devices (batch_size must divide the device count)."""
+    all mesh devices (batch_size must divide the device count).  The
+    per-step RNG is ``fold_in(base_rng, step_no)`` computed in-jit (same
+    stream as the single-device step)."""
     et_key = etkey(edge_type)
     loss_name = cfg.loss
     n_shards = mesh.shape[axes[0]] * mesh.shape[axes[1]]
@@ -233,13 +236,130 @@ def make_sharded_train_step(
     )
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, graph, k, rows, cols, rng):
+    def step(params, opt_state, graph, k, rows, cols, base_rng, step_no):
+        rng = jax.random.fold_in(base_rng, step_no)
         loss, grads = sharded_grads(params, graph, k, rows, cols, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     return step
+
+
+def make_sharded_chunked_train_step(
+    model: DecagonModel,
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    graph_template: ShardedGraph,
+    axes=AXES,
+) -> Callable:
+    """Device-resident multi-step training over the (row, edge) mesh: ONE
+    jitted dispatch runs a ``lax.scan`` of optimization steps with a
+    ``lax.switch`` over per-edge-type scoring branches — the mesh
+    counterpart of ``decagon_tpu.train.step.make_chunked_train_step``
+    (VERDICT r2 item 1: the mesh path previously paid a host round trip
+    per step, which dominates on remote-attached chips).
+
+    The whole chunk (scan + optimizer updates) runs INSIDE ``shard_map``:
+    params/opt_state are replicated (every device computes the identical
+    update from the psum'd gradients), the graph stays sharded, and the
+    per-step batch is data-parallel over all devices.  Per-step math and
+    the RNG stream (``fold_in(base_rng, step_no)``) are identical to
+    ``make_sharded_train_step``, so loss traces match step-for-step.
+
+    Returns ``chunk(params, opt_state, graph, base_rng, branch[C], k[C],
+    rows[C,B], cols[C,B], step_no[C], valid[C]) -> (params, opt_state,
+    losses[C])``; invalid steps are computed but fully masked (padding).
+    """
+    edge_types = graph_template.edge_types
+    n_shards = mesh.shape[axes[0]] * mesh.shape[axes[1]]
+    if cfg.batch_size % n_shards != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide over {n_shards} shards"
+        )
+    g_specs = sharded_pspecs(graph_template, axes)
+    mc = model.config
+    ns = max(1, cfg.neg_sample_size)
+    local_batch = cfg.batch_size // n_shards
+
+    def local_loss(params, graph, branch, k, rows, cols, rng):
+        enc_rng, sample_rng = jax.random.split(rng)
+        shard = (
+            jax.lax.axis_index(axes[0]) * mesh.shape[axes[1]]
+            + jax.lax.axis_index(axes[1])
+        )
+        embeddings = encode_sharded(
+            params, graph, enc_rng,
+            dropout_rate=mc.dropout,
+            deterministic=False,
+            spmm_impl=mc.spmm_impl,
+            per_relation_dropout_max=mc.per_relation_dropout_max,
+            axes=axes,
+            spmm_precision=mc.spmm_precision,
+        )
+
+        def make_branch(et):
+            et_key = etkey(et)
+
+            def scoring(_):
+                pos = model.score_edges(
+                    params, graph, embeddings, et, k, rows, cols
+                )
+                neg_rows = sample_unigram(
+                    jax.random.fold_in(sample_rng, shard),
+                    graph.neg_cdf[et_key][k],
+                    local_batch * ns,
+                )
+                neg_cols = jnp.tile(cols, ns) if ns > 1 else cols
+                neg = model.score_edges(
+                    params, graph, embeddings, et, k, neg_rows, neg_cols
+                )
+                if cfg.loss == "hinge":
+                    pos_t = jnp.tile(pos, ns) if ns > 1 else pos
+                    return LOSSES["hinge"](pos_t, neg, cfg.margin)
+                return LOSSES["xent"](pos, neg, cfg.neg_sample_weight)
+
+            return scoring
+
+        return jax.lax.switch(
+            branch, [make_branch(et) for et in edge_types], None
+        )
+
+    def local_chunk(params, opt_state, graph, base_rng, branch, k, rows,
+                    cols, step_no, valid):
+        def body(carry, xs):
+            params, opt_state = carry
+            b, kk, r, c, sn, v = xs
+            rng = jax.random.fold_in(base_rng, sn)
+            loss, grads = jax.value_and_grad(local_loss)(
+                params, graph, b, kk, r, c, rng
+            )
+            loss = jax.lax.psum(loss, axes)
+            grads = jax.lax.psum(grads, axes)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            keep = lambda n, o: jnp.where(v, n, o)
+            params = jax.tree_util.tree_map(keep, new_params, params)
+            opt_state = jax.tree_util.tree_map(keep, new_opt, opt_state)
+            return (params, opt_state), jnp.where(v, loss, jnp.nan)
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (branch, k, rows, cols, step_no, valid)
+        )
+        return params, opt_state, losses
+
+    sharded_chunk = jax.shard_map(
+        local_chunk,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), g_specs, P(),
+            P(), P(), P(None, axes), P(None, axes), P(), P(),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded_chunk, donate_argnums=(0, 1))
 
 
 def make_sharded_embed_fn(

@@ -188,24 +188,43 @@ class GreedyActiveLearner(RandomMaskingActiveLearner):
     to the current model's edge scorer by the training loop); the first
     iteration has no model yet and falls back to random selection
     (reference ``GreedyActiveLearner.py:66-78``).
+
+    ``batch_scorer([(k, edges[M,2]), ...]) -> [scores[M], ...]`` is the
+    preferred hook: ONE encoder forward + one chunked scoring dispatch
+    covers every relation's candidate cells per selection round, instead
+    of a forward + dispatch per relation (VERDICT r2 item 8).
     """
 
-    def __init__(self, *args, scorer: Optional[Callable] = None, **kwargs):
+    def __init__(self, *args, scorer: Optional[Callable] = None,
+                 batch_scorer: Optional[Callable] = None, **kwargs):
         super().__init__(*args, **kwargs)
         self.scorer = scorer
+        self.batch_scorer = batch_scorer
 
     def _select_indices(self, count: int) -> np.ndarray:
-        if self.scorer is None or self.num_iters == 0:
+        if (
+            self.scorer is None and self.batch_scorer is None
+        ) or self.num_iters == 0:
             return self._random_indices(count)
         scores = np.empty(len(self.possibilities), dtype=np.float64)
         n_cols = self.graph.relations[self.drug_drug][0].shape[1]
-        for k in np.unique(self.possibilities[:, 0]):
+        uniq = np.unique(self.possibilities[:, 0])
+        sels, batches = [], []
+        for k in uniq:
             sel = self.possibilities[:, 0] == k
             cells = self.possibilities[sel, 1]
             edges = np.stack(
                 [cells // n_cols, cells % n_cols], axis=1
             ).astype(np.int32)
-            scores[sel] = np.asarray(self.scorer(int(k), edges))
+            sels.append(sel)
+            batches.append((int(k), edges))
+        if self.batch_scorer is not None:
+            parts = self.batch_scorer(batches)
+            for sel, part in zip(sels, parts):
+                scores[sel] = np.asarray(part)
+        else:
+            for sel, (k, edges) in zip(sels, batches):
+                scores[sel] = np.asarray(self.scorer(k, edges))
         return np.argsort(-scores, kind="stable")[:count]
 
 

@@ -54,6 +54,59 @@ class TrainConfig:
     # Iteration hooks then observe post-chunk params; pick a chunk that
     # divides the log/checkpoint cadence when that matters.
     scan_chunk: int = 0
+    # TF1 parity knob: the reference's Adam applies SPARSE (lazy) moment
+    # updates to decoder rows reached through tf.gather — rows of
+    # relations not trained this step keep their momentum instead of
+    # decaying it (reference optimizer.py:111-114 + TF1 _apply_sparse).
+    # optax Adam is dense; True emulates the lazy behavior by masking
+    # decoder-row moment/param updates where the row gradient is zero.
+    lazy_decoder_adam: bool = False
+
+
+def _lazy_rows_adam(
+    learning_rate: float, b1: float, b2: float, eps: float
+) -> optax.GradientTransformation:
+    """Adam with per-ROW lazy moments: rows (leading-dims slices over the
+    last axis) whose gradient is entirely zero keep m/v/param unchanged —
+    TF1's ``_apply_sparse`` semantics for gathered embedding rows.  Bias
+    correction uses the global step count, as TF1 does."""
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {
+            "m": zeros,
+            "v": jax.tree_util.tree_map(jnp.zeros_like, params),
+            "t": jnp.zeros((), jnp.int32),
+        }
+
+    def update(grads, state, params=None):
+        del params
+        t = state["t"] + 1
+        b1t = 1.0 - jnp.power(b1, t.astype(jnp.float32))
+        b2t = 1.0 - jnp.power(b2, t.astype(jnp.float32))
+
+        def one(g, m, v):
+            mask = jnp.any(g != 0, axis=-1, keepdims=True)
+            m_new = jnp.where(mask, b1 * m + (1 - b1) * g, m)
+            v_new = jnp.where(mask, b2 * v + (1 - b2) * g * g, v)
+            upd = jnp.where(
+                mask,
+                -learning_rate * (m_new / b1t)
+                / (jnp.sqrt(v_new / b2t) + eps),
+                0.0,
+            )
+            return upd, m_new, v_new
+
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_m = treedef.flatten_up_to(state["m"])
+        flat_v = treedef.flatten_up_to(state["v"])
+        outs = [one(g, m, v) for g, m, v in zip(flat_g, flat_m, flat_v)]
+        updates = treedef.unflatten([o[0] for o in outs])
+        new_m = treedef.unflatten([o[1] for o in outs])
+        new_v = treedef.unflatten([o[2] for o in outs])
+        return updates, {"m": new_m, "v": new_v, "t": t}
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -61,8 +114,17 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     # (reference optimizer.py:111-114).  optax.flatten runs the update on
     # ONE concatenated vector instead of ~15 small leaves — measurably
     # faster per step on TPU at this model size (same math).
-    return optax.flatten(
+    adam = optax.flatten(
         optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    )
+    if not cfg.lazy_decoder_adam:
+        return adam
+    lazy = _lazy_rows_adam(cfg.learning_rate, 0.9, 0.999, 1e-8)
+    return optax.multi_transform(
+        {"enc": adam, "dec": lazy},
+        lambda params: {
+            key: ("dec" if key == "dec" else "enc") for key in params
+        },
     )
 
 
@@ -72,8 +134,11 @@ def make_train_step(
     cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
 ) -> Callable:
-    """Returns jitted ``step(params, opt_state, graph, k, rows, cols, rng)
-    -> (params, opt_state, loss)`` for one static edge type."""
+    """Returns jitted ``step(params, opt_state, graph, k, rows, cols,
+    base_rng, step_no) -> (params, opt_state, loss)`` for one static edge
+    type.  The per-step RNG is derived INSIDE the jit as
+    ``fold_in(base_rng, step_no)`` — an eager host-side ``fold_in`` per
+    step costs a full dispatch round trip on remote-attached TPUs."""
     loss_name = cfg.loss
     et_key = etkey(edge_type)
     row_type = str(edge_type[0])
@@ -103,7 +168,8 @@ def make_train_step(
         return LOSSES["xent"](pos, neg, cfg.neg_sample_weight)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, graph, k, rows, cols, rng):
+    def step(params, opt_state, graph, k, rows, cols, base_rng, step_no):
+        rng = jax.random.fold_in(base_rng, step_no)
         loss, grads = jax.value_and_grad(loss_fn)(
             params, graph, k, rows, cols, rng
         )
@@ -278,9 +344,13 @@ def make_emb_scores(model: DecagonModel, edge_type: EdgeType) -> Callable:
     row_t, col_t = str(edge_type[0]), str(edge_type[1])
     gm = model.graph_meta
     impl = getattr(model.config, "sddmm_impl", "jnp")
+    # "auto" selects the kernel ONLY on TPU: the Mosaic lowering
+    # (pltpu.VMEM block specs, tpu.dynamic_gather) does not compile on
+    # other accelerators.  Explicit "pallas" still runs anywhere via
+    # interpret mode on CPU.
     use_pallas = (
         impl in ("pallas", "auto")
-        and (impl == "pallas" or jax.default_backend() != "cpu")
+        and (impl == "pallas" or jax.default_backend() == "tpu")
         and sp.supports(
             name,
             gm.num_nodes[edge_type[0]],

@@ -56,8 +56,9 @@ class Trainer:
         (``parallel.make_mesh``) — the trainer partitions the adjacency
         over it (destination-row blocks x edge shards, dense relation
         stacks split over relations; ``parallel.rowshard``) and runs the
-        sharded ``shard_map`` step; parameters stay replicated.  The
-        scanned-chunk path is single-device only.  ``device_graph`` may
+        sharded ``shard_map`` step; parameters stay replicated.  With
+        ``config.scan_chunk > 0`` the mesh path runs the scanned-chunk
+        sharded step (one dispatch per chunk).  ``device_graph`` may
         be a prebuilt ``ShardedGraph`` matching the mesh, or a plain
         ``DeviceGraph`` (then the sharded graph is built from
         ``graph``/``splits``)."""
@@ -70,11 +71,6 @@ class Trainer:
             graph, splits, batch_size=config.batch_size, seed=seed
         )
         if mesh is not None:
-            if config.scan_chunk:
-                raise ValueError(
-                    "scan_chunk training is single-device; use "
-                    "scan_chunk=0 with a mesh"
-                )
             from decagon_tpu.parallel.rowshard import (
                 ShardedGraph,
                 build_sharded_device_graph,
@@ -137,6 +133,7 @@ class Trainer:
             repl = NamedSharding(mesh, PartitionSpec())
             self.params = jax.device_put(self.params, repl)
             self.opt_state = jax.device_put(self.opt_state, repl)
+            self.step_rng = jax.device_put(self.step_rng, repl)
         self.iteration_hook = iteration_hook
         self.epoch_hook = epoch_hook
         self._chunk_fn = None
@@ -180,15 +177,17 @@ class Trainer:
 
     def train_batch(self, batch: Minibatch) -> float:
         step_fn = self.steps[batch.edge_type]
-        rng = jax.random.fold_in(self.step_rng, self.global_step)
+        # RNG folding happens in-jit: eager fold_in would pay a dispatch
+        # round trip per step (tens of ms on remote-attached chips).
         self.params, self.opt_state, loss = step_fn(
             self.params,
             self.opt_state,
             self.device_graph,
-            jnp.int32(batch.k),
-            jnp.asarray(batch.rows),
-            jnp.asarray(batch.cols),
-            rng,
+            np.int32(batch.k),
+            batch.rows,
+            batch.cols,
+            self.step_rng,
+            np.int32(self.global_step),
         )
         self.global_step += 1
         return loss
@@ -202,11 +201,22 @@ class Trainer:
         and materialize losses only when they read them).  Loss traces
         match ``train_batch`` exactly (same per-step RNG stream)."""
         if self._chunk_fn is None:
-            from decagon_tpu.train.step import make_chunked_train_step
+            if self.mesh is not None:
+                from decagon_tpu.parallel.sharded import (
+                    make_sharded_chunked_train_step,
+                )
 
-            self._chunk_fn = make_chunked_train_step(
-                self.model, self.device_graph, self.config, self.optimizer
-            )
+                self._chunk_fn = make_sharded_chunked_train_step(
+                    self.model, self.config, self.optimizer, self.mesh,
+                    self.device_graph,
+                )
+            else:
+                from decagon_tpu.train.step import make_chunked_train_step
+
+                self._chunk_fn = make_chunked_train_step(
+                    self.model, self.device_graph, self.config,
+                    self.optimizer,
+                )
         n = len(batches)
         assert 0 < n <= chunk_size
         b = self.config.batch_size

@@ -1,7 +1,7 @@
-"""Sharded-step throughput vs single-chip (VERDICT round-1 item 3).
+"""Sharded-step throughput vs single-chip (VERDICT r2 item 1).
 
-Measures the per-step latency of the (row, edge)-sharded train step
-against the plain single-device step on the SAME workload:
+Measures steady-state training throughput of the (row, edge)-sharded
+train step against the plain single-device step on the SAME workload:
 
 * on the real TPU (1 chip): mesh (1, 1) — the sharding machinery's
   overhead with no actual partitioning; target within ~1.5x of the
@@ -12,7 +12,15 @@ against the plain single-device step on the SAME workload:
   host's cores, so absolute speedups are not meaningful; the number to
   watch is that sharded per-device cost stays in the same decade).
 
-Writes artifacts/perf/sharded_bench.json.
+Methodology note (round 3): throughput is measured PIPELINED — N steps
+dispatched back to back, one hard sync at the end — because that is how
+training actually runs; per-step host sync would measure the host<->TPU
+tunnel round trip (~25 ms on remote-attached chips), which is exactly
+the artifact that made round 2's sharded step look 29x slower.  The
+per-step-synced latency is also recorded as a separate diagnostic.
+Both paths also report the scanned-chunk (lax.scan) variant.
+
+Writes artifacts/perf/sharded_bench_<backend>.json.
 """
 
 from __future__ import annotations
@@ -43,10 +51,23 @@ ART = os.path.join(
 )
 
 
-def steady_ms(trainer, steps=30, warmup=12):
-    # Warm up TWO full round-robin cycles: every edge type's step
-    # compiles twice (first call + a donated-output resharding
-    # recompile) before anything is timed.
+def pipelined_ms(trainer, steps=60, warmup=10):
+    """Steady-state ms/step: back-to-back dispatch, one trailing sync."""
+    batches = []
+    while len(batches) < warmup + steps:
+        batches.extend(trainer.scheduler.epoch())
+    for b in batches[:warmup]:
+        trainer.train_batch(b)
+    hard_sync(trainer.params)
+    t0 = time.perf_counter()
+    for b in batches[warmup : warmup + steps]:
+        trainer.train_batch(b)
+    hard_sync(trainer.params)
+    return (time.perf_counter() - t0) / steps * 1e3
+
+
+def synced_ms(trainer, steps=20, warmup=4):
+    """Per-step-synced latency (diagnostic: includes dispatch+readback)."""
     batches = []
     while len(batches) < warmup + steps:
         batches.extend(trainer.scheduler.epoch())
@@ -62,6 +83,21 @@ def steady_ms(trainer, steps=30, warmup=12):
     return float(np.median(times) * 1e3)
 
 
+def chunked_ms(trainer, chunk=16, n_chunks=6):
+    """ms/step through the scanned-chunk path (one dispatch per chunk)."""
+    batches = []
+    while len(batches) < chunk * (n_chunks + 2):
+        batches.extend(trainer.scheduler.epoch())
+    for i in range(2):
+        trainer.train_chunk(batches[i * chunk : (i + 1) * chunk], chunk)
+    hard_sync(trainer.params)
+    t0 = time.perf_counter()
+    for i in range(2, 2 + n_chunks):
+        trainer.train_chunk(batches[i * chunk : (i + 1) * chunk], chunk)
+    hard_sync(trainer.params)
+    return (time.perf_counter() - t0) / (n_chunks * chunk) * 1e3
+
+
 def main():
     graph = make_polypharmacy_like_graph(
         n_proteins=2000, n_drugs=400, n_side_effects=50, seed=7
@@ -72,10 +108,14 @@ def main():
     )
     model = DecagonModel(ModelConfig(spmm_impl="auto"), dg)
     cfg = TrainConfig(batch_size=512, learning_rate=1e-3)
+    cfg_chunk = TrainConfig(batch_size=512, learning_rate=1e-3, scan_chunk=16)
 
     result = {"backend": jax.default_backend(), "devices": len(jax.devices())}
     single = Trainer(model, graph, splits, dg, cfg, seed=0)
-    result["single_ms_per_step"] = round(steady_ms(single), 3)
+    result["single_ms_per_step"] = round(pipelined_ms(single), 3)
+    result["single_ms_per_step_synced"] = round(synced_ms(single), 3)
+    single_c = Trainer(model, graph, splits, dg, cfg_chunk, seed=0)
+    result["single_chunk16_ms_per_step"] = round(chunked_ms(single_c), 3)
 
     shapes = [(1, 1)] if len(jax.devices()) == 1 else [(1, 8), (2, 4)]
     from decagon_tpu.parallel.mesh import make_mesh
@@ -93,16 +133,25 @@ def main():
         )
         # Fresh copies: the donating train step would otherwise delete
         # arrays shared with the previous trainer's state.
-        state = jax.tree.map(jnp.copy, single.state_dict())
+        tag = f"sharded_{shape[0]}x{shape[1]}"
         t = Trainer(
             model, graph, splits, sgraph, cfg, seed=0, mesh=mesh,
-            init_state=state,
+            init_state=jax.tree.map(jnp.copy, single.state_dict()),
         )
-        ms = steady_ms(t)
-        key = f"sharded_{shape[0]}x{shape[1]}_ms_per_step"
-        result[key] = round(ms, 3)
-        result[f"sharded_{shape[0]}x{shape[1]}_vs_single"] = round(
+        ms = pipelined_ms(t)
+        result[f"{tag}_ms_per_step"] = round(ms, 3)
+        result[f"{tag}_vs_single"] = round(
             ms / result["single_ms_per_step"], 3
+        )
+        result[f"{tag}_ms_per_step_synced"] = round(synced_ms(t), 3)
+        t_c = Trainer(
+            model, graph, splits, sgraph, cfg_chunk, seed=0, mesh=mesh,
+            init_state=jax.tree.map(jnp.copy, single.state_dict()),
+        )
+        cms = chunked_ms(t_c)
+        result[f"{tag}_chunk16_ms_per_step"] = round(cms, 3)
+        result[f"{tag}_chunk16_vs_single"] = round(
+            cms / result["single_ms_per_step"], 3
         )
 
     os.makedirs(ART, exist_ok=True)

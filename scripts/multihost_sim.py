@@ -83,7 +83,7 @@ def main():
     cols = jnp.asarray(train[idx, 1])
     new_params, _, loss = step(
         jax.tree.map(jnp.copy, params), opt_state, sharded_graph,
-        jnp.int32(0), rows, cols, jax.random.PRNGKey(0),
+        jnp.int32(0), rows, cols, jax.random.PRNGKey(0), jnp.int32(0),
     )
     loss = float(loss)
     assert np.isfinite(loss), loss

@@ -37,11 +37,18 @@ def test_native_tiles_match_python(lib):
     assert got.num_tiles == want.num_tiles
     np.testing.assert_array_equal(np.asarray(got.row_ptr), np.asarray(want.row_ptr))
     np.testing.assert_array_equal(
-        np.asarray(got.src_block), np.asarray(want.src_block)
+        np.asarray(got.src_start), np.asarray(want.src_start)
     )
     np.testing.assert_array_equal(
         np.asarray(got.packed), np.asarray(want.packed)
     )
+    # Window invariants: 8-aligned starts within bounds; all src-locals
+    # inside the window.
+    starts = np.asarray(got.src_start)
+    assert np.all(starts % 8 == 0)
+    assert np.all(starts >= 0) and np.all(starts + 128 <= got.n_src)
+    src_local = np.asarray(got.packed)[:, 0, :]
+    assert np.all(src_local < 128)
 
 
 def test_native_false_edge_sampler(lib):

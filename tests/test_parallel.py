@@ -229,11 +229,29 @@ def test_trainer_with_mesh_end_to_end(world):
     assert rows[-1]["EvaluateAll"] == "True"
     assert 0.0 <= float(rows[-1]["AUROC"]) <= 1.0
 
-    with pytest.raises(ValueError, match="single-device"):
-        Trainer(
-            model, graph, splits, device_graph,
-            TrainConfig(batch_size=64, scan_chunk=8), mesh=mesh,
+def test_mesh_scan_chunk_matches_per_step(world):
+    """The scanned-chunk sharded step (one dispatch per chunk of
+    optimization steps) produces the SAME loss trace as the per-step
+    sharded path — identical RNG stream, psum'd grads, Adam updates
+    (VERDICT r2 item 1: the mesh path previously had no scan_chunk)."""
+    from decagon_tpu.train.trainer import Trainer
+
+    graph, splits, device_graph, model, params = world
+    mesh = make_mesh(shape=(2, 4))
+    losses = {}
+    for chunk in (0, 4):
+        cfg = TrainConfig(
+            batch_size=64, learning_rate=1e-2, scan_chunk=chunk
         )
+        trainer = Trainer(
+            model, graph, splits, device_graph, cfg, seed=0, mesh=mesh
+        )
+        trace = []
+        trainer.iteration_hook = lambda t, r: trace.append(r.loss)
+        trainer.train(num_epochs=1)
+        losses[chunk] = np.asarray(trace)
+    assert losses[0].shape == losses[4].shape
+    np.testing.assert_allclose(losses[4], losses[0], rtol=2e-4, atol=1e-6)
 
 
 def test_sharded_train_step_runs_and_learns(world):
@@ -256,7 +274,7 @@ def test_sharded_train_step_runs_and_learns(world):
         cols = jnp.asarray(train[idx, 1])
         p, opt_state, loss = step(
             p, opt_state, sgraph, jnp.int32(0), rows, cols,
-            jax.random.PRNGKey(it),
+            jax.random.PRNGKey(0), jnp.int32(it),
         )
         losses.append(float(loss))
     assert np.all(np.isfinite(losses))
