@@ -43,6 +43,19 @@ def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+
+_TILE_POOL = ThreadPoolExecutor(max_workers=8)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _scatter_dense(rel, receivers, senders, vals, k, n_i, n_j, dtype):
+    """[K, N_i, N_j] dense stack from a flattened COO stream, on device."""
+    dense = jnp.zeros((k, n_i, n_j), dtype)
+    return dense.at[rel, receivers, senders].add(vals.astype(dtype))
+
+
 def _np_dense_dtype(dtype):
     """Host dtype for the dense stacks (bf16 via ml_dtypes)."""
     if dtype in (jnp.bfloat16, "bf16", "bfloat16"):
@@ -206,20 +219,42 @@ def build_device_graph(
             rel = np.concatenate([rel, np.zeros(pad, np.int32)])
             vals = np.concatenate([vals, np.zeros(pad, np.float32)])
 
+        senders_dev = jnp.asarray(senders, jnp.int32)
+        receivers_dev = jnp.asarray(receivers, jnp.int32)
+        rel_dev = jnp.asarray(rel, jnp.int32)
+        vals_dev = jnp.asarray(vals, jnp.float32)
+
         dense = None
         n_i, n_j = graph.num_nodes[i], graph.num_nodes[j]
         if len(rels) * n_i * n_j <= densify_max_cells:
-            # Fill directly in the target dtype (one pass, half the host
-            # memory for bf16 stacks at paper scale).
-            dense_np = np.zeros(
-                (len(rels), n_i, n_j), dtype=_np_dense_dtype(dense_dtype)
-            )
-            real = padded - pad  # exclude padding (would clobber (0,0,0))
-            dense_np[rel[:real], receivers[:real], senders[:real]] = (
-                vals[:real].astype(dense_np.dtype)
-            )
-            dense = jnp.asarray(dense_np)
-            del dense_np
+            if jax.default_backend() != "cpu":
+                # Build the stack ON DEVICE by scattering the (already
+                # uploaded) COO stream: at paper scale the host fill +
+                # host->device transfer of a multi-GB stack dominated
+                # graph build time (~90 s of the 122 s round-2
+                # host_build_s); the compiled scatter-add costs
+                # milliseconds and the compilation is cached.  .add (not
+                # .set): padding entries land on cell (0, 0, 0) with
+                # value 0, which must not clobber a real edge there.
+                dense = _scatter_dense(
+                    rel_dev, receivers_dev, senders_dev, vals_dev,
+                    len(rels), n_i, n_j,
+                    jnp.bfloat16
+                    if _np_dense_dtype(dense_dtype) == _np_dense_dtype("bf16")
+                    else jnp.dtype(dense_dtype),
+                )
+            else:
+                # Host fill in the target dtype (one pass; bf16 halves
+                # host memory at paper scale).
+                dense_np = np.zeros(
+                    (len(rels), n_i, n_j), dtype=_np_dense_dtype(dense_dtype)
+                )
+                real = padded - pad  # exclude pad (would clobber (0,0,0))
+                dense_np[rel[:real], receivers[:real], senders[:real]] = (
+                    vals[:real].astype(dense_np.dtype)
+                )
+                dense = jnp.asarray(dense_np)
+                del dense_np
 
         tiles_fwd = tiles_bwd = None
         if tile_for_pallas and (dense is None or tile_even_if_dense):
@@ -230,20 +265,23 @@ def build_device_graph(
                 rel.astype(np.int64) * graph.num_nodes[j]
                 + senders.astype(np.int64)
             )
-            tiles_fwd = build_tiles(
-                flat_src, receivers, vals, flat_src_space, n_rows_i,
-                block_r=0, block_s=0, tile_c=tile_block,
+            # Per-direction tilings are independent: build them on the
+            # pool (the native sort/pack releases the GIL, so the big
+            # edge types' fwd/bwd tilings overlap — host-build time).
+            tiles_fwd = _TILE_POOL.submit(
+                build_tiles, flat_src, receivers, vals, flat_src_space,
+                n_rows_i, 0, 0, tile_block,
             )
-            tiles_bwd = build_tiles(
-                receivers, flat_src, vals, n_rows_i, flat_src_space,
-                block_r=0, block_s=0, tile_c=tile_block,
+            tiles_bwd = _TILE_POOL.submit(
+                build_tiles, receivers, flat_src, vals, n_rows_i,
+                flat_src_space, 0, 0, tile_block,
             )
 
         adj[etkey((i, j))] = EdgeTypeAdj(
-            senders=jnp.asarray(senders, jnp.int32),
-            receivers=jnp.asarray(receivers, jnp.int32),
-            rel=jnp.asarray(rel, jnp.int32),
-            vals=jnp.asarray(vals, jnp.float32),
+            senders=senders_dev,
+            receivers=receivers_dev,
+            rel=rel_dev,
+            vals=vals_dev,
             tiles_fwd=tiles_fwd,
             tiles_bwd=tiles_bwd,
             dense=dense,
@@ -271,6 +309,12 @@ def build_device_graph(
         neg_cdf[etkey((i, j))] = jnp.asarray(
             np.stack(cdf_rows), jnp.float32
         )
+
+    # Resolve pooled tiling builds.
+    for a in adj.values():
+        if a.tiles_fwd is not None:
+            a.tiles_fwd = a.tiles_fwd.result()
+            a.tiles_bwd = a.tiles_bwd.result()
 
     # Fused all-edge-type stream (one gather + segment-sum per layer).
     fused = None

@@ -64,49 +64,50 @@ class EdgeSplit:
 def _sample_false_edges(
     count: int,
     shape: Tuple[int, int],
-    forbidden: set,
+    pos_keys: np.ndarray,
     rng: np.random.Generator,
 ) -> np.ndarray:
-    """Rejection-sample ``count`` (row, col) pairs not in ``forbidden``.
+    """Rejection-sample ``count`` (row, col) pairs avoiding ``pos_keys``.
 
+    ``pos_keys``: SORTED int64 linearized positives (``r * n_cols + c``).
     Uses the native sampler when available (hash-set rejection in C++;
     the reference's equivalent was an O(E) scan per draw,
-    ``minibatch.py:95-99``), falling back to vectorized numpy.
+    ``minibatch.py:95-99``), falling back to vectorized numpy
+    (searchsorted membership tests — no Python-level per-edge loop).
     """
     from decagon_tpu import native
 
-    if count > 4096 and forbidden:
-        pos = np.asarray(sorted(forbidden), dtype=np.int64)
+    n_cols = shape[1]
+    if count > 4096 and pos_keys.size:
         sampled = native.sample_false_edges(
-            pos[:, 0], pos[:, 1], shape, count,
+            pos_keys // n_cols, pos_keys % n_cols, shape, count,
             seed=int(rng.integers(0, 2**62)),
         )
         if sampled is not None:
             return sampled
-    out = np.empty((count, 2), dtype=np.int32)
-    seen = set()
-    filled = 0
     total_cells = shape[0] * shape[1]
-    if total_cells - len(forbidden) < count:
+    if total_cells - pos_keys.size < count:
         raise ValueError(
             f"cannot sample {count} false edges from a "
-            f"{shape} matrix with {len(forbidden)} positives"
+            f"{shape} matrix with {pos_keys.size} positives"
         )
-    while filled < count:
-        # Vectorized batches of candidates; loop handles collisions.
-        batch = max(64, 2 * (count - filled))
-        ri = rng.integers(0, shape[0], size=batch)
-        ci = rng.integers(0, shape[1], size=batch)
-        for r, c in zip(ri, ci):
-            key = (int(r), int(c))
-            if key in forbidden or key in seen:
-                continue
-            out[filled, 0], out[filled, 1] = key
-            seen.add(key)
-            filled += 1
-            if filled == count:
-                break
-    return out
+    out_keys = np.empty(0, dtype=np.int64)
+    while out_keys.size < count:
+        cand = rng.integers(
+            0, total_cells, size=2 * (count - out_keys.size) + 64
+        )
+        idx = np.searchsorted(pos_keys, cand)
+        safe = np.minimum(idx, max(pos_keys.size - 1, 0))
+        hit = (
+            (idx < pos_keys.size) & (pos_keys[safe] == cand)
+            if pos_keys.size
+            else np.zeros(cand.shape, bool)
+        )
+        out_keys = np.unique(np.concatenate([out_keys, cand[~hit]]))
+    out_keys = rng.permutation(out_keys)[:count]
+    return np.stack(
+        [out_keys // n_cols, out_keys % n_cols], axis=1
+    ).astype(np.int32)
 
 
 def split_relation(
@@ -141,9 +142,11 @@ def split_relation(
     test = edges[order[num_val : num_val + num_test]]
     train = edges[order[num_val + num_test :]]
 
-    forbidden = {(int(r), int(c)) for r, c in edges}
-    test_false = _sample_false_edges(num_test, shape, forbidden, rng)
-    val_false = _sample_false_edges(num_val, shape, forbidden, rng)
+    pos_keys = np.sort(
+        edges[:, 0].astype(np.int64) * shape[1] + edges[:, 1]
+    )
+    test_false = _sample_false_edges(num_test, shape, pos_keys, rng)
+    val_false = _sample_false_edges(num_val, shape, pos_keys, rng)
 
     adj_rows, adj_cols, adj_vals = normalize_adjacency(
         train[:, 0], train[:, 1], shape

@@ -41,11 +41,11 @@ class ModelConfig:
     # decomposition) or "default" (single-pass bf16, ~2x faster,
     # fp32 accumulation).
     spmm_precision: str = "highest"
-    # Eval-scale decoder scoring: "jnp" (XLA gather + einsum), "pallas"
-    # (fused-gather VMEM kernel, decoder/table-size permitting — see
-    # decagon_tpu.ops.sddmm_pallas), or "auto" (the Pallas kernel on the
-    # TPU backend where supported — the Mosaic lowering is TPU-only —
-    # jnp everywhere else).
+    # Eval-scale decoder scoring: "auto"/"jnp" (XLA gather + einsum —
+    # the measured-best TPU implementation; see train/step.py's
+    # make_emb_scores for why) or "pallas" (fused-gather VMEM kernel,
+    # interpret-mode verified; compiled Mosaic currently rejects its
+    # gather — kept for future Mosaic gather support).
     sddmm_impl: str = "auto"
 
 

@@ -142,7 +142,7 @@ def build_tiles_arrays(
     num_dst_blocks: int,
     n_src_pad: int,
 ):
-    """Returns (packed [T,4,C], src_start [T], row_ptr [B+1]) or None."""
+    """Returns (packed [T,2,C], src_start [T], row_ptr [B+1]) or None."""
     lib = get_library()
     if lib is None:
         return None
@@ -162,11 +162,11 @@ def build_tiles_arrays(
             [np.zeros(1, np.int32), np.ones(num_dst_blocks, np.int32)]
         )
         return (
-            np.zeros((1, 4, tile_c), np.int32),
+            np.zeros((1, 2, tile_c), np.int32),
             np.zeros(1, np.int32),
             row_ptr,
         )
-    packed = np.zeros((num_tiles, 4, tile_c), np.int32)
+    packed = np.zeros((num_tiles, 2, tile_c), np.int32)
     src_start = np.zeros(num_tiles, np.int32)
     row_ptr = np.zeros(num_dst_blocks + 1, np.int32)
     lib.dt_tiles_fill(

@@ -155,9 +155,10 @@ int64_t dt_normalize_rect(
 // packs tiles of <= tile_c edges whose sources fit one block_s-row
 // window (start 8-aligned, clamped to n_src_pad - block_s), and returns
 // the tile count.  Then dt_tiles_fill writes the packed tile array
-// [T, 4, C] (src_local | dst_local | f32-bitcast vals | pad), per-tile
-// window starts [T], and row_ptr [num_dst_blocks + 1].  Layout matches
-// the Python fallback in decagon_tpu/ops/tiling.py bit for bit.
+// [T, 2, C] (row 0: (dst_local << 16) | src_local; row 1: f32-bitcast
+// vals), per-tile window starts [T], and row_ptr [num_dst_blocks + 1].
+// Layout matches the Python fallback in decagon_tpu/ops/tiling.py bit
+// for bit.
 int64_t dt_tiles_prepare(
     const int64_t* src, const int64_t* dst, const float* vals,
     int64_t n_edges, int64_t block_r, int64_t block_s, int64_t tile_c,
@@ -228,13 +229,15 @@ int64_t dt_tiles_fill(
     const int64_t end = st.tile_start[t + 1];
     const int64_t ws = st.tile_window[t];
     const int64_t db = st.tile_dblock[t];
-    int32_t* p = out_packed + t * 4 * c;
-    std::memset(p, 0, sizeof(int32_t) * 4 * c);
+    int32_t* p = out_packed + t * 2 * c;
+    std::memset(p, 0, sizeof(int32_t) * 2 * c);
     for (int64_t i = begin; i < end; ++i) {
       const int64_t off = i - begin;
-      p[off] = static_cast<int32_t>(st.src[i] - ws);
-      p[c + off] = static_cast<int32_t>(st.dst[i] - db * st.block_r);
-      std::memcpy(&p[2 * c + off], &st.vals[i], sizeof(float));
+      const int32_t src_local = static_cast<int32_t>(st.src[i] - ws);
+      const int32_t dst_local =
+          static_cast<int32_t>(st.dst[i] - db * st.block_r);
+      p[off] = (dst_local << 16) | src_local;
+      std::memcpy(&p[c + off], &st.vals[i], sizeof(float));
     }
     out_src_start[t] = static_cast<int32_t>(ws);
     db_counts[db] += 1;

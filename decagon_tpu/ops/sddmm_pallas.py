@@ -30,6 +30,17 @@ full ``[d, d]`` matrices need a 3D gather — it stays on the XLA path.
 
 Forward-only by design: training scores 512-edge batches (gather cost
 ~nothing); this kernel exists for the 10^5-10^6-edge evaluation sweeps.
+
+COMPILED-MODE STATUS (measured on v5e, round 3): Mosaic rejects the
+gather — ``tpu.dynamic_gather`` with a 1024x128 table fails with
+"Not implemented: Multiple source vregs along gather dimension", i.e.
+the lowering only supports gather operands spanning ONE vreg (8 f32
+rows) along the gathered dimension.  A one-hot-matmul fallback would
+cost ``2*t*H`` MXU flops per gathered row — orders of magnitude more
+than XLA's native gather at these table sizes — so the jnp path is the
+measured-best TPU implementation and this kernel is interpret-mode
+verified only (``ModelConfig.sddmm_impl="pallas"``), retained against
+future Mosaic gather support.
 """
 
 from __future__ import annotations

@@ -42,10 +42,10 @@ from decagon_tpu.ops.tiling import TiledEdges
 def _spmm_kernel(
     row_ptr_ref,  # SMEM [num_dst_blocks + 1] int32 (scalar prefetch)
     src_start_ref,  # SMEM [T] int32 (scalar prefetch): window start rows
-    packed_hbm,  # HBM [T, 4, C] int32 (row 3 is alignment padding)
+    packed_hbm,  # HBM [T, 2, C] int32 (dst<<16|src, f32-bitcast vals)
     p_hbm,  # HBM [M_pad, H] float32
     out_ref,  # VMEM [R, H] float32
-    tile_buf,  # VMEM [2, 4, C] int32 scratch
+    tile_buf,  # VMEM [2, 2, C] int32 scratch
     src_buf,  # VMEM [2, S, H] float32 scratch
     tile_sem,  # DMA sems (2,)
     src_sem,  # DMA sems (2,)
@@ -95,9 +95,10 @@ def _spmm_kernel(
         tile_dma(slot, t).wait()
         src_dma(slot, t).wait()
 
-        src_local = tile_buf[slot, 0:1, :]  # [1, C] int32
-        dst_local = tile_buf[slot, 1:2, :]  # [1, C] int32
-        vals = pltpu.bitcast(tile_buf[slot, 2:3, :], jnp.float32)  # [1, C]
+        both = tile_buf[slot, 0:1, :]  # [1, C] int32: dst<<16 | src
+        src_local = jax.lax.bitwise_and(both, 0xFFFF)
+        dst_local = jax.lax.shift_right_logical(both, 16)
+        vals = pltpu.bitcast(tile_buf[slot, 1:2, :], jnp.float32)  # [1, C]
 
         # One-hot gather matrix [S, C]: column c holds vals[c] at row
         # src_local[c].  Lane-aligned broadcasts only (no relayouts).
@@ -154,7 +155,7 @@ def spmm_tiled(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, c), jnp.int32),
+            pltpu.VMEM((2, 2, c), jnp.int32),
             pltpu.VMEM((2, tiles.block_s, h), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -169,7 +170,7 @@ def spmm_tiled(
         out_shape=jax.ShapeDtypeStruct((tiles.n_dst, h), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=tiles.num_tiles * (tiles.block_s * h * 4 + 16 * c)
+            bytes_accessed=tiles.num_tiles * (tiles.block_s * h * 4 + 8 * c)
             + tiles.n_dst * h * 4,
             transcendentals=0,
         ),

@@ -19,8 +19,10 @@ A window that starts at each tile's own first source row keeps tiles
 full as long as C src-sorted edges span <= block_s source rows —
 occupancy is now bounded by the graph's local density, not by a grid.
 
-Tile data is packed as one int32 array [T, 4, C] (src-local | dst-local |
-float32-bitcast vals) so the kernel fetches one DMA per tile.
+Tile data is packed as one int32 array [T, 2, C] — row 0 holds
+``(dst_local << 16) | src_local`` (both block-local indices fit 16 bits:
+block heights are capped at 4096), row 1 the float32-bitcast edge values
+— so the kernel fetches one 8C-byte DMA per tile.
 """
 
 from __future__ import annotations
@@ -38,9 +40,10 @@ import numpy as np
 class TiledEdges:
     """Tiled edge stream for one aggregation direction.
 
-    ``packed``: [T, 4, C] int32 — per tile: row 0 src index local to the
-    tile's source window, row 1 dst index local to the tile's dst block,
-    row 2 edge values bitcast from float32.  Padding slots have val == 0.
+    ``packed``: [T, 2, C] int32 — per tile: row 0 is
+    ``(dst_local << 16) | src_local`` (dst index local to the tile's dst
+    block, src index local to its source window), row 1 edge values
+    bitcast from float32.  Padding slots have val == 0.
     ``src_start``: [T] int32 — first source row of the tile's window
     (8-aligned, clamped to ``n_src - block_s``); the kernel DMAs
     ``P[src_start : src_start + block_s]``.
@@ -158,9 +161,9 @@ def select_tile_geometry(
     """Pick (block_r, block_s, tile_c) minimizing the modeled kernel time.
 
     Per tile the one-hot kernel costs ``2*C*H*(S+R)`` MXU flops and DMAs
-    an ``S x H`` fp32 source window plus ``16*C`` packed bytes, for
+    an ``S x H`` fp32 source window plus ``8*C`` packed bytes, for
     ``C * occupancy`` edges — so per-edge flops scale as
-    ``2H(S+R)/occ`` and per-edge DMA as ``(4SH + 16C)/(C*occ)``: tall
+    ``2H(S+R)/occ`` and per-edge DMA as ``(4SH + 8C)/(C*occ)``: tall
     windows/output blocks only pay when they raise occupancy enough,
     while larger C amortizes the window DMA wherever the local density
     supports filling it.  Occupancy (tile counts) is measured
@@ -182,10 +185,11 @@ def select_tile_geometry(
         blocks = np.unique(db)
         if len(blocks) <= sample_blocks:
             pick = blocks
+            s_src, s_db = src, db
         else:
             pick = rng.choice(blocks, sample_blocks, replace=False)
-        mask = np.isin(db, pick)
-        s_src, s_db = src[mask], db[mask]
+            mask = np.isin(db, pick)
+            s_src, s_db = src[mask], db[mask]
         order = np.lexsort((s_src, s_db))
         s_src, s_db = s_src[order], s_db[order]
         scale = len(blocks) / max(len(pick), 1)
@@ -193,18 +197,24 @@ def select_tile_geometry(
             n_src_pad = _round_up(max(n_src, 1), s)
             if s > n_src_pad:
                 continue
+            saturated = False
             for c in c_candidates:
                 tiles = _greedy_tile_count(s_src, s_db, n_src_pad, s, c)
                 tiles_est = tiles * scale
                 per_tile = (
                     2.0 * c * h * (s + r) / _MXU_FLOPS_PER_S
-                    + (s * h * 4.0 + 16.0 * c) / _HBM_BYTES_PER_S
+                    + (s * h * 4.0 + 8.0 * c) / _HBM_BYTES_PER_S
                 )
                 cost = tiles_est * per_tile
                 if cost < best[0]:
                     best = (cost, r, s, c)
+                saturated = saturated or tiles * c <= 1.08 * s_src.size
             if s >= n_src_pad:
                 break  # window already covers the whole source space
+            if saturated:
+                # Tiles are already ~full at this window height; taller
+                # windows only add flops/DMA per tile.
+                break
     return best[1], best[2], best[3]
 
 
@@ -272,20 +282,18 @@ def build_tiles(
         starts = windows = dblocks = np.empty(0, np.int64)
 
     num_tiles = max(1, len(starts))
-    packed_arr = np.zeros((num_tiles, 4, tile_c), dtype=np.int32)
+    assert block_r <= 32768 and block_s <= 65536, "locals must fit 16 bits"
+    packed_arr = np.zeros((num_tiles, 2, tile_c), dtype=np.int32)
     if len(starts):
         # Vectorized fill: per-edge tile id and in-tile offset.
         edge_tile = np.searchsorted(
             starts, np.arange(src.size), side="right"
         ) - 1
         offset = np.arange(src.size) - starts[edge_tile]
-        packed_arr[edge_tile, 0, offset] = (
-            src - windows[edge_tile]
-        ).astype(np.int32)
-        packed_arr[edge_tile, 1, offset] = (
-            dst - dblocks[edge_tile] * block_r
-        ).astype(np.int32)
-        packed_arr[edge_tile, 2, offset] = vals.view(np.int32)
+        src_local = (src - windows[edge_tile]).astype(np.int32)
+        dst_local = (dst - dblocks[edge_tile] * block_r).astype(np.int32)
+        packed_arr[edge_tile, 0, offset] = (dst_local << 16) | src_local
+        packed_arr[edge_tile, 1, offset] = vals.view(np.int32)
         src_start_arr = windows.astype(np.int32)
         db_arr = dblocks
     else:
@@ -313,7 +321,7 @@ def build_tiles(
 
 def tiling_stats(tiles: TiledEdges) -> dict:
     """Occupancy diagnostics: padding waste drives kernel efficiency."""
-    vals = np.asarray(tiles.packed[:, 2, :]).view(np.float32)
+    vals = np.asarray(tiles.packed[:, 1, :]).view(np.float32)
     nnz = int(np.count_nonzero(vals))
     capacity = tiles.num_tiles * tiles.tile_c
     return {

@@ -30,6 +30,7 @@ as the single-chip path (VERDICT round-1 item 3).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -56,7 +57,7 @@ class StackedTiles:
     the static fields reconstruct a ``TiledEdges`` for the local kernel
     call."""
 
-    packed: jax.Array  # int32 [S, T, 4, C]
+    packed: jax.Array  # int32 [S, T, 2, C]
     src_start: jax.Array  # int32 [S, T]
     row_ptr: jax.Array  # int32 [S, num_dst_blocks + 1]
     n_dst: int = dataclasses.field(metadata=dict(static=True))
@@ -280,20 +281,43 @@ def build_sharded_device_graph(
 
         dense = None
         if k_loc * nb * n_j <= densify_max_cells_per_device:
-            dense_np = np.zeros(
-                (nr, ne, k_loc, nb, n_j), dtype=np.float32
+            jdt = (
+                jnp.bfloat16
+                if dense_dtype in (jnp.bfloat16, "bf16", "bfloat16")
+                else jnp.dtype(dense_dtype)
             )
-            dense_np[
-                blk, rel // k_loc, rel % k_loc,
-                receivers - blk.astype(np.int64) * nb, senders,
-            ] = vals
-            dense = jax.device_put(
-                dense_np.reshape(s_total, k_loc, nb, n_j).astype(
-                    _np_dtype(dense_dtype)
-                ),
-                both,
-            )
-            del dense_np
+            if jax.default_backend() != "cpu":
+                # Scatter the COO stream into the SHARDED dense stack on
+                # device (GSPMD partitions the scatter): at paper scale
+                # the host fill + multi-GB host->device transfer
+                # dominated sharded-graph build time.
+                fn = _sharded_scatter_fn(
+                    mesh, axes, s_total, k_loc, nb, n_j, jdt
+                )
+                dense = fn(
+                    jnp.asarray(blk * ne + rel // k_loc, jnp.int32),
+                    jnp.asarray(rel % k_loc, jnp.int32),
+                    jnp.asarray(
+                        receivers - blk.astype(np.int64) * nb, jnp.int32
+                    ),
+                    jnp.asarray(senders, jnp.int32),
+                    jnp.asarray(vals, jnp.float32),
+                )
+            else:
+                dense_np = np.zeros(
+                    (nr, ne, k_loc, nb, n_j), dtype=np.float32
+                )
+                dense_np[
+                    blk, rel // k_loc, rel % k_loc,
+                    receivers - blk.astype(np.int64) * nb, senders,
+                ] = vals
+                dense = jax.device_put(
+                    dense_np.reshape(s_total, k_loc, nb, n_j).astype(
+                        _np_dtype(dense_dtype)
+                    ),
+                    both,
+                )
+                del dense_np
 
         tiles_fwd = tiles_bwd = None
         if tile_for_pallas and (dense is None or tile_even_if_dense):
@@ -399,3 +423,18 @@ def _np_dtype(dtype):
 
         return ml_dtypes.bfloat16
     return np.dtype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_scatter_fn(mesh, axes, s_total, k_loc, nb, n_j, dtype):
+    """Jitted COO -> sharded [S, K_loc, Nb, Nj] dense-stack scatter."""
+    both = NamedSharding(mesh, P(axes))
+
+    @functools.partial(jax.jit, out_shardings=both)
+    def scatter(s_idx, kk_idx, row_idx, col_idx, vals):
+        dense = jnp.zeros((s_total, k_loc, nb, n_j), dtype)
+        return dense.at[s_idx, kk_idx, row_idx, col_idx].add(
+            vals.astype(dtype)
+        )
+
+    return scatter

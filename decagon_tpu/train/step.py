@@ -344,13 +344,16 @@ def make_emb_scores(model: DecagonModel, edge_type: EdgeType) -> Callable:
     row_t, col_t = str(edge_type[0]), str(edge_type[1])
     gm = model.graph_meta
     impl = getattr(model.config, "sddmm_impl", "jnp")
-    # "auto" selects the kernel ONLY on TPU: the Mosaic lowering
-    # (pltpu.VMEM block specs, tpu.dynamic_gather) does not compile on
-    # other accelerators.  Explicit "pallas" still runs anywhere via
-    # interpret mode on CPU.
+    # "auto" resolves to the jnp path EVERYWHERE: compiled-mode Mosaic
+    # rejects the kernel's gather ("Not implemented: Multiple source
+    # vregs along gather dimension" — tpu.dynamic_gather only handles
+    # tables within one vreg along the gather dim, measured on v5e; see
+    # artifacts/perf/sddmm_profile.json), and a one-hot-matmul rewrite
+    # costs ~2*t*H flops per gathered row — orders of magnitude more
+    # than XLA's native gather at eval scale.  Explicit "pallas" remains
+    # for interpret-mode verification and future Mosaic gather support.
     use_pallas = (
-        impl in ("pallas", "auto")
-        and (impl == "pallas" or jax.default_backend() == "tpu")
+        impl == "pallas"
         and sp.supports(
             name,
             gm.num_nodes[edge_type[0]],
@@ -369,7 +372,10 @@ def make_emb_scores(model: DecagonModel, edge_type: EdgeType) -> Callable:
                 name=name,
                 glb=dp.get("global"),
                 rel_diag=dp.get("local_diag", dp.get("relation_diag")),
-                interpret=jax.default_backend() == "cpu",
+                # Interpret everywhere: compiled Mosaic rejects the
+                # kernel's gather (see the "auto" note above), so the
+                # explicit-pallas path is a verification mode.
+                interpret=True,
             )
             return jax.nn.sigmoid(logits)
 

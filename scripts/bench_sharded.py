@@ -98,7 +98,69 @@ def chunked_ms(trainer, chunk=16, n_chunks=6):
     return (time.perf_counter() - t0) / (n_chunks * chunk) * 1e3
 
 
+def bench_fullscale_sharded():
+    """Full-scale (963-relation) sharded entry: the paper-scale workload
+    through the (1,1)-mesh scanned-chunk sharded step vs the single-chip
+    chunked step (bf16 dense stacks both).  Appends to the artifact."""
+    graph = make_polypharmacy_like_graph(
+        n_proteins=19081, n_drugs=645, n_side_effects=963,
+        min_edges_per_relation=500, total_drugdrug_edges=4_651_131,
+        ppi_attachment=37, seed=7,
+    )
+    splits = split_graph(graph, val_frac=0.05, test_frac=0.05, seed=1)
+    dg = build_device_graph(
+        graph, splits, densify_max_cells=1_000_000_000,
+        dense_dtype=jnp.bfloat16, build_fused=False,
+    )
+    model = DecagonModel(ModelConfig(spmm_impl="auto"), dg)
+    cfg = TrainConfig(batch_size=512, learning_rate=1e-3, scan_chunk=16)
+    nnz = sum(
+        int(np.count_nonzero(np.asarray(a.vals)))
+        for a in dg.adj.values()
+    )
+    single = Trainer(model, graph, splits, dg, cfg, seed=0)
+    single_ms = chunked_ms(single, chunk=16, n_chunks=3)
+
+    from decagon_tpu.parallel.mesh import make_mesh
+    from decagon_tpu.parallel.rowshard import build_sharded_device_graph
+
+    shape = (1, 1) if len(jax.devices()) == 1 else (2, 4)
+    mesh = make_mesh(shape=shape)
+    sgraph = build_sharded_device_graph(
+        graph, splits, mesh,
+        densify_max_cells_per_device=1_000_000_000,
+        dense_dtype=jnp.bfloat16,
+    )
+    st = Trainer(
+        model, graph, splits, sgraph, cfg, seed=0, mesh=mesh,
+        init_state=jax.tree.map(jnp.copy, single.state_dict()),
+    )
+    sharded_ms = chunked_ms(st, chunk=16, n_chunks=3)
+    entry = {
+        "nnz": nnz,
+        "single_chunk16_ms_per_step": round(single_ms, 3),
+        f"sharded_{shape[0]}x{shape[1]}_chunk16_ms_per_step": round(
+            sharded_ms, 3
+        ),
+        "sharded_vs_single": round(sharded_ms / single_ms, 3),
+        "sharded_edges_per_s": round(nnz / (sharded_ms / 1e3), 1),
+    }
+    out = os.path.join(ART, f"sharded_bench_{jax.default_backend()}.json")
+    result = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            result = json.load(f)
+    result["fullscale_963rel"] = entry
+    os.makedirs(ART, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(entry, indent=1))
+
+
 def main():
+    if "--full" in sys.argv:
+        bench_fullscale_sharded()
+        return
     graph = make_polypharmacy_like_graph(
         n_proteins=2000, n_drugs=400, n_side_effects=50, seed=7
     )

@@ -64,10 +64,12 @@ def run_variant(name: str, overrides: dict, max_epochs: int = 150,
         ModelConfig(hidden1=64, hidden2=32, dropout=0.1, spmm_impl="auto"),
         dg,
     )
-    cfg = TrainConfig(
+    kwargs = dict(
         batch_size=512, learning_rate=1e-3, loss="hinge", margin=0.1,
-        num_epochs=1, scan_chunk=50, **overrides,
+        num_epochs=1, scan_chunk=50,
     )
+    kwargs.update(overrides)
+    cfg = TrainConfig(**kwargs)
     trainer = Trainer(model, graph, splits, dg, cfg, seed=seed)
     evaluator = AccuracyEvaluator(model, graph, splits)
     t0 = time.time()

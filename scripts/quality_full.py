@@ -1,0 +1,145 @@
+"""Full-scale converged quality run (VERDICT r2 item 3).
+
+Trains the paper-scale polypharmacy-like graph — 19081 proteins, 645
+drugs, 963 side-effect relations (>=500 edges each, 4.65M drug-drug
+edges) with ``planted_rank`` structure so the relations are learnable —
+to an AUROC plateau on the real chip, with per-epoch pooled drug-drug
+val/test metrics streamed to ``artifacts/quality/poly963_metrics.csv``
+and orbax checkpoints for resume.  BASELINE north star: test AUROC
+>= 0.87 (paper, DEDICOM); if the synthetic proxy plateaus below that,
+the trajectory documents its ceiling.
+
+Reference hparams throughout (configuration.json: hidden 64->32, batch
+512, lr 1e-3, dropout 0.1, hinge margin 0.1).
+
+Usage: python scripts/quality_full.py [--max-hours H] [--max-epochs N]
+Resumable: re-running continues from the latest checkpoint and appends
+to the CSV.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from decagon_tpu.graph.device import build_device_graph
+from decagon_tpu.graph.split import split_graph
+from decagon_tpu.graph.synthetic import make_polypharmacy_like_graph
+from decagon_tpu.models.model import DecagonModel, ModelConfig
+from decagon_tpu.train.checkpoint import Checkpointer
+from decagon_tpu.train.evaluate import AccuracyEvaluator
+from decagon_tpu.train.step import TrainConfig
+from decagon_tpu.train.trainer import Trainer
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ART_DIR = os.path.join(ROOT, "artifacts", "quality")
+CKPT_DIR = os.path.join(ROOT, "artifacts", "quality", "poly963_ckpt")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-hours", type=float, default=4.0)
+    ap.add_argument("--max-epochs", type=int, default=60)
+    ap.add_argument("--patience", type=int, default=6)
+    args = ap.parse_args()
+
+    t0 = time.time()
+
+    def log(msg):
+        print(f"[poly963 +{time.time() - t0:.0f}s] {msg}", flush=True)
+
+    graph = make_polypharmacy_like_graph(
+        n_proteins=19081, n_drugs=645, n_side_effects=963,
+        min_edges_per_relation=500, total_drugdrug_edges=4_651_131,
+        ppi_attachment=37, seed=7, planted_rank=16,
+    )
+    splits = split_graph(graph, val_frac=0.05, test_frac=0.05, seed=8)
+    dg = build_device_graph(
+        graph, splits, densify_max_cells=1_000_000_000,
+        dense_dtype=jnp.bfloat16, build_fused=False,
+    )
+    log("graph + device graph built")
+    model = DecagonModel(
+        ModelConfig(hidden1=64, hidden2=32, dropout=0.1, spmm_impl="auto"),
+        dg,
+    )
+    cfg = TrainConfig(
+        batch_size=512, learning_rate=1e-3, loss="hinge", margin=0.1,
+        num_epochs=1, scan_chunk=32,
+    )
+    trainer = Trainer(model, graph, splits, dg, cfg, seed=0)
+    evaluator = AccuracyEvaluator(model, graph, splits)
+    checkpointer = Checkpointer(CKPT_DIR, max_to_keep=2)
+    resumed = trainer.try_resume(checkpointer)
+    # Track epochs via global_step (steps/epoch is deterministic).
+    steps_per_epoch = len(list(trainer.scheduler.epoch()))
+    start_epoch = trainer.global_step // steps_per_epoch
+    log(
+        f"steps/epoch={steps_per_epoch} resumed={resumed} "
+        f"start_epoch={start_epoch}"
+    )
+
+    os.makedirs(ART_DIR, exist_ok=True)
+    csv_path = os.path.join(ART_DIR, "poly963_metrics.csv")
+    mode = "a" if resumed and os.path.exists(csv_path) else "w"
+    best_val, since_best = -1.0, 0
+    f = open(csv_path, mode, newline="")
+    writer = csv.writer(f)
+    if mode == "w":
+        writer.writerow(
+            ["Epoch", "ValAUROC", "ValAUPRC", "ValAPK",
+             "TestAUROC", "TestAUPRC", "TestAPK", "Seconds"]
+        )
+    final = None
+    for epoch in range(start_epoch + 1, args.max_epochs + 1):
+        trainer.train(num_epochs=1)
+        emb = evaluator.embeddings(trainer.params, dg)
+        val = evaluator.evaluate_all_drug_drug(
+            trainer.params, dg, embeddings=emb
+        )
+        test = evaluator.evaluate_all_drug_drug(
+            trainer.params, dg, use_test=True, embeddings=emb
+        )
+        writer.writerow(
+            [epoch, f"{val.auroc:.5f}", f"{val.auprc:.5f}",
+             f"{val.apk:.5f}", f"{test.auroc:.5f}", f"{test.auprc:.5f}",
+             f"{test.apk:.5f}", f"{time.time() - t0:.1f}"]
+        )
+        f.flush()
+        checkpointer.save(trainer.global_step, trainer.state_dict())
+        log(
+            f"epoch {epoch}: val AUROC {val.auroc:.4f} "
+            f"test AUROC {test.auroc:.4f} AUPRC {test.auprc:.4f}"
+        )
+        final = (epoch, val, test)
+        if val.auroc > best_val + 0.001:
+            best_val, since_best = val.auroc, 0
+        else:
+            since_best += 1
+            if since_best >= args.patience:
+                log(f"plateau at epoch {epoch}")
+                break
+        if (time.time() - t0) / 3600 > args.max_hours:
+            log("wall-time budget reached")
+            break
+    f.close()
+    if final is not None:
+        epoch, val, test = final
+        log(
+            f"FINAL epoch {epoch}: test AUROC {test.auroc:.4f} "
+            f"AUPRC {test.auprc:.4f} (north star >= 0.87)"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,7 @@ def test_native_tiles_match_python(lib):
     starts = np.asarray(got.src_start)
     assert np.all(starts % 8 == 0)
     assert np.all(starts >= 0) and np.all(starts + 128 <= got.n_src)
-    src_local = np.asarray(got.packed)[:, 0, :]
+    src_local = np.asarray(got.packed)[:, 0, :] & 0xFFFF
     assert np.all(src_local < 128)
 
 
