@@ -163,6 +163,48 @@ def test_random_masking_active_learner():
         graph.relations[(0, 0)][0].num_edges
 
 
+def test_greedy_learner_batch_scorer():
+    """The batch scorer covers every relation's candidates in ONE call
+    per selection round and drives the same top-score selection as the
+    per-relation scorer (VERDICT r2 item 8)."""
+    from decagon_tpu.train.active import GreedyActiveLearner
+
+    graph = make_synthetic_graph(
+        n_genes=60, n_drugs=30, n_drugdrug_types=2, seed=0,
+        with_transposes=False,
+    )
+    calls = []
+
+    def fake_batch_scorer(batches):
+        calls.append(len(batches))
+        # Deterministic per-cell score: favor high (row + col).
+        return [
+            (edges[:, 0] + edges[:, 1]).astype(np.float64)
+            for _, edges in batches
+        ]
+
+    def fake_scorer(k, edges):
+        return (edges[:, 0] + edges[:, 1]).astype(np.float64)
+
+    a = GreedyActiveLearner(
+        graph, test_set_proportion=0.3, init_train_proportion=0.5, seed=0,
+        batch_scorer=fake_batch_scorer,
+    )
+    b = GreedyActiveLearner(
+        graph, test_set_proportion=0.3, init_train_proportion=0.5, seed=0,
+        scorer=fake_scorer,
+    )
+    # First iteration: random fallback for both (same seed -> same pick).
+    a.get_update(), b.get_update()
+    ga, _ = a.get_update()
+    gb, _ = b.get_update()
+    # One batch-scorer call covering every relation with candidates.
+    assert len(calls) == 1 and calls[0] >= 1
+    for rel_a, rel_b in zip(ga.relations[(1, 1)], gb.relations[(1, 1)]):
+        np.testing.assert_array_equal(rel_a.rows, rel_b.rows)
+        np.testing.assert_array_equal(rel_a.cols, rel_b.cols)
+
+
 def test_noop_active_learner():
     graph = make_synthetic_graph(n_genes=50, n_drugs=20, seed=0,
                                  with_transposes=False)

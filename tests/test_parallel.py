@@ -254,6 +254,78 @@ def test_mesh_scan_chunk_matches_per_step(world):
     np.testing.assert_allclose(losses[4], losses[0], rtol=2e-4, atol=1e-6)
 
 
+def test_mesh_trainer_checkpoint_resume(world, tmp_path):
+    """Mesh-trainer lifecycle (VERDICT r2 item 7): checkpoint replicated
+    state from a mesh trainer, resume into a FRESH mesh trainer, and
+    keep training — params match bit-for-bit after restore."""
+    from decagon_tpu.train.checkpoint import Checkpointer
+    from decagon_tpu.train.trainer import Trainer
+
+    graph, splits, device_graph, model, params = world
+    mesh = make_mesh(shape=(2, 4))
+    cfg = TrainConfig(batch_size=64, learning_rate=1e-2)
+    t1 = Trainer(model, graph, splits, device_graph, cfg, seed=0, mesh=mesh)
+    for batch in list(t1.scheduler.epoch())[:4]:
+        t1.train_batch(batch)
+    ckpt = Checkpointer(str(tmp_path / "ck"), max_to_keep=1)
+    ckpt.save(t1.global_step, t1.state_dict())
+
+    t2 = Trainer(model, graph, splits, device_graph, cfg, seed=0, mesh=mesh)
+    assert t2.try_resume(ckpt)
+    assert t2.global_step == t1.global_step
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t1.params),
+        jax.tree_util.tree_leaves(t2.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for batch in list(t2.scheduler.epoch())[:2]:
+        loss = t2.train_batch(batch)
+    assert np.isfinite(float(loss))
+
+
+def test_cli_mesh_end_to_end_with_active_learning(tmp_path):
+    """CLI MeshShape on the virtual mesh, full lifecycle: masking
+    active-learner outer loop driving a mesh trainer, checkpointing on,
+    then a resume run (VERDICT r2 item 7)."""
+    import json
+    import os
+
+    from decagon_tpu import cli
+
+    conf = {
+        "DataSetType": "DecagonDummyData",
+        "ActiveLearnerType": "RandomMaskingActiveLearner",
+        "InitialUnmaskedProportion": 0.5,
+        "NumProteins": 60,
+        "NumDrugs": 30,
+        "NumDrugDrugRelationTypes": 1,
+        "hidden1": 8,
+        "hidden2": 4,
+        "batch_size": 16,
+        "NumEpochs": 1,
+        "NumIterationsPerLog": 50,
+        "TrainIterationResultDir": str(tmp_path / "results"),
+        "ShouldCheckpoint": True,
+        "CheckpointDirectory": str(tmp_path / "ck"),
+        "NumIterationsPerCheckpoint": 4,
+        "ValFraction": 0.1,
+        "TestFraction": 0.05,
+        "MeshShape": [2, 4],
+    }
+    path = tmp_path / "conf.json"
+    path.write_text(json.dumps(conf))
+    cli.main(["--config", str(path)])
+    results = os.listdir(tmp_path / "results")
+    assert any(f.startswith("decagon_iteration_results") for f in results)
+    assert os.listdir(tmp_path / "ck")  # checkpoints written
+
+    # Resume path: a fresh single-iteration run restoring the checkpoint.
+    conf["ActiveLearnerType"] = "NoopActiveLearner"
+    conf["ResumeFromCheckpoint"] = True
+    path.write_text(json.dumps(conf))
+    cli.main(["--config", str(path)])
+
+
 def test_sharded_train_step_runs_and_learns(world):
     graph, splits, device_graph, model, params = world
     mesh = make_mesh(shape=(2, 4))
