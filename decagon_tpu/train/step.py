@@ -111,12 +111,14 @@ def _lazy_rows_adam(
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     # TF1 AdamOptimizer defaults: b1=0.9, b2=0.999, eps=1e-8
-    # (reference optimizer.py:111-114).  optax.flatten runs the update on
-    # ONE concatenated vector instead of ~15 small leaves — measurably
-    # faster per step on TPU at this model size (same math).
-    adam = optax.flatten(
-        optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-    )
+    # (reference optimizer.py:111-114).  fused_adam keeps every leaf in
+    # its natural TPU layout and runs the whole update as one elementwise
+    # pass per leaf; the round-2 optax.flatten variant RELAYOUTED the
+    # padded weight stacks into a flat vector each step, which cost ~20
+    # of the 39 ms full-scale step (artifacts/perf/adam_probe.json).
+    from decagon_tpu.ops.optim import fused_adam
+
+    adam = fused_adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
     if not cfg.lazy_decoder_adam:
         return adam
     lazy = _lazy_rows_adam(cfg.learning_rate, 0.9, 0.999, 1e-8)

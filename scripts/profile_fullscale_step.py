@@ -41,7 +41,22 @@ ART = os.path.join(
 )
 
 
-from decagon_tpu.timing import timed_ms as timed  # hard-synced
+from decagon_tpu.timing import hard_sync
+
+
+def timed(fn, *args, reps: int = 10, warmup: int = 2) -> float:
+    """Pipelined ms/call: `reps` back-to-back dispatches, ONE trailing
+    hard sync — the host<->TPU tunnel RTT (~28 ms) amortizes across the
+    window instead of polluting every sample (the round-2 artifact's
+    numbers each carried a full RTT)."""
+    for _ in range(warmup):
+        out = fn(*args)
+    hard_sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    hard_sync(out)
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 def main():

@@ -1,0 +1,72 @@
+"""fused_adam must match optax.adam step-for-step (same math, fused
+into one elementwise pass per leaf — decagon_tpu/ops/optim.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from decagon_tpu.ops.optim import fused_adam
+
+
+def _tree(seed):
+    rng = np.random.default_rng(seed)
+    return {
+        "enc1": {"1,1": jnp.asarray(rng.normal(size=(5, 7, 4)), jnp.float32)},
+        "enc2": {"1,1": jnp.asarray(rng.normal(size=(5, 4, 3)), jnp.float32)},
+        "dec": {"glb": jnp.asarray(rng.normal(size=(3, 3)), jnp.float32),
+                "loc": jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)},
+    }
+
+
+@pytest.mark.parametrize("lr", [1e-3, 3e-2])
+def test_fused_adam_matches_optax(lr):
+    params_a = _tree(0)
+    params_b = jax.tree.map(jnp.copy, params_a)
+    ref = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    fus = fused_adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    state_a = ref.init(params_a)
+    state_b = fus.init(params_b)
+
+    @jax.jit
+    def step_a(p, s, g):
+        u, s = ref.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    @jax.jit
+    def step_b(p, s, g):
+        u, s = fus.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    for i in range(7):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(100 + i).normal(size=p.shape),
+                jnp.float32,
+            ),
+            params_a,
+        )
+        params_a, state_a = step_a(params_a, state_a, grads)
+        params_b, state_b = step_b(params_b, state_b, grads)
+
+    for la, lb in zip(
+        jax.tree_util.tree_leaves(params_a),
+        jax.tree_util.tree_leaves(params_b),
+    ):
+        np.testing.assert_allclose(la, lb, rtol=2e-6, atol=2e-7)
+
+
+def test_fused_adam_state_roundtrips_through_tree_ops():
+    # Checkpointer serializes opt_state as a pytree; the fused state is a
+    # plain dict of arrays, so tree flatten/unflatten must be lossless.
+    params = _tree(1)
+    fus = fused_adam(1e-3)
+    state = fus.init(params)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    grads = jax.tree.map(jnp.ones_like, params)
+    u1, _ = fus.update(grads, state, params)
+    u2, _ = fus.update(grads, rebuilt, params)
+    for a, b in zip(jax.tree_util.tree_leaves(u1), jax.tree_util.tree_leaves(u2)):
+        np.testing.assert_array_equal(a, b)
