@@ -31,3 +31,68 @@ def all_reduce_sum(axis_name: str) -> Callable[[jax.Array], jax.Array]:
 
     psum.defvjp(fwd, bwd)
     return psum
+
+
+@lru_cache(maxsize=None)
+def edge_accum(axis_name: str) -> Callable[[jax.Array], jax.Array]:
+    """psum whose backward is the IDENTITY.
+
+    Used by the weight-sharded encoder where the cotangent arriving at
+    the psum output has already been summed over this axis (by
+    ``gather_rows``'s backward): the adjoint of ``block = sum_e part_e``
+    w.r.t. ``part_e`` is the total ``block`` cotangent, which each
+    device already holds — re-psumming would overcount by the axis
+    size."""
+
+    @jax.custom_vjp
+    def accum(x):
+        return jax.lax.psum(x, axis_name)
+
+    def fwd(x):
+        return accum(x), None
+
+    def bwd(_, ct):
+        return (ct,)
+
+    accum.defvjp(fwd, bwd)
+    return accum
+
+
+@lru_cache(maxsize=None)
+def gather_rows(
+    row_axis: str, axes: tuple, n_rows: int, n_block: int, n_row_devices: int
+) -> Callable[[jax.Array], jax.Array]:
+    """Tiled all_gather over the row axis, trimmed to ``n_rows``, whose
+    backward sums cotangents over BOTH mesh axes before slicing back the
+    caller's row block.
+
+    The gathered table is replicated over the whole mesh and every
+    device consumes it differently (its own adjacency shard, its own
+    batch slice), so the true adjoint of each device's input block is
+    the ALL-device cotangent sum restricted to that block:
+
+        d total / d block_r = psum_{row,edge}(ct)[r*Nb : (r+1)*Nb]
+
+    Making this explicit keeps gradients exact for weight-sharded
+    parameters without relying on the ambient collective-transpose
+    rules (``check_vma=False`` shard_maps do not track which arrays are
+    device-varying)."""
+
+    @jax.custom_vjp
+    def gather(x):
+        full = jax.lax.all_gather(x, row_axis, axis=0, tiled=True)
+        return full[:n_rows]
+
+    def fwd(x):
+        return gather(x), None
+
+    def bwd(_, ct):
+        total = jax.lax.psum(ct, axes)
+        r = jax.lax.axis_index(row_axis)
+        padded = jax.numpy.zeros(
+            (n_row_devices * n_block,) + ct.shape[1:], ct.dtype
+        ).at[:n_rows].set(total)
+        return (jax.lax.dynamic_slice_in_dim(padded, r * n_block, n_block, 0),)
+
+    gather.defvjp(fwd, bwd)
+    return gather

@@ -20,11 +20,16 @@ SURVEY.md §2.9/§5.8).  The mesh has two named axes:
   FLOPs scale with the axis; partial row blocks are psum-reduced over
   this (intra-host, ICI) axis.
 
-Parameters and features stay replicated; gradients are psum-reduced over
-both axes; the decoder batch is data-parallel over all devices.  Density
-dispatch survives sharding: each device's slice of a densified edge type
-is a ``[K_loc, Nb, Nj]`` stack consumed by the same batched-einsum SpMM
-as the single-chip path (VERDICT round-1 item 3).
+Features and decoder parameters stay replicated; the per-relation enc
+weight stacks (and their Adam moments) shard on the relation axis over
+the ``edge`` axis by default (``TrainConfig.shard_weights`` — see
+``parallel.sharded``), mirroring the dense relation split, which removes
+the full-parameter gradient all-reduce from every step.  Replicated
+leaves' gradients are psum-reduced over both axes; the decoder batch is
+data-parallel over all devices.  Density dispatch survives sharding:
+each device's slice of a densified edge type is a ``[K_loc, Nb, Nj]``
+stack consumed by the same batched-einsum SpMM as the single-chip path
+(VERDICT round-1 item 3).
 """
 
 from __future__ import annotations

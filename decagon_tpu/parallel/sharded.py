@@ -43,6 +43,130 @@ from decagon_tpu.train.negatives import sample_unigram
 from decagon_tpu.train.step import TrainConfig
 
 
+# ---- weight sharding over the edge axis -----------------------------------
+#
+# The dense relation stacks are split over the ``edge`` mesh axis in
+# contiguous blocks (rowshard scatters relation k to edge shard
+# ``k // k_loc``), so a device's forward touches ONLY its own k_loc
+# relations' weights — the gradients of the per-relation weight stacks
+# have disjoint support across edge shards.  Replicating those stacks
+# (the round-2 design) made every step psum ~333 MiB of mostly-zero
+# encoder gradients over the mesh; sharding the stacks (and their Adam
+# moments) on the relation axis eliminates that traffic entirely.  The
+# remaining per-step communication is the activation exchange (psum of
+# row blocks over ``edge``, all_gather of node tables over ``row``) plus
+# the small replicated decoder gradients.
+
+
+def shardable_weight_keys(graph: ShardedGraph) -> frozenset:
+    """Edge types whose enc1/enc2 stacks can shard over the edge axis:
+    exactly those with dense per-device relation blocks (the COO/Pallas
+    layouts address the full [K * N_src] space and need replicated
+    stacks)."""
+    return frozenset(
+        key for key, a in graph.adj.items() if a.dense is not None
+    )
+
+
+def make_param_pspecs(
+    graph: ShardedGraph, axes=AXES, shard_weights: bool = True
+):
+    """PartitionSpec PREFIX tree for the model params pytree."""
+    if not shard_weights:
+        return P()
+    keys = shardable_weight_keys(graph)
+    enc = {
+        key: (P((axes[1],)) if key in keys else P()) for key in graph.adj
+    }
+    return {"enc1": dict(enc), "enc2": dict(enc), "dec": P()}
+
+
+def pad_relation_stacks(tree, graph: ShardedGraph, pad_value: float = 0.0):
+    """Pad enc1/enc2 leaves' relation axis to ``ne * k_loc`` so the
+    sharded leaves split evenly over the edge axis.  Works on any
+    params-shaped pytree (params themselves, Adam m/v)."""
+    ne = graph.mesh_shape[1]
+    keys = shardable_weight_keys(graph)
+    out = dict(tree)
+    for level in ("enc1", "enc2"):
+        leaves = dict(tree[level])
+        for key in keys:
+            k_pad = graph.adj[key].k_loc * ne
+            w = leaves[key]
+            if w.shape[0] < k_pad:
+                pad = [(0, k_pad - w.shape[0])] + [(0, 0)] * (w.ndim - 1)
+                leaves[key] = jnp.pad(w, pad, constant_values=pad_value)
+        out[level] = leaves
+    return out
+
+
+def unpad_relation_stacks(tree, graph: ShardedGraph):
+    """Inverse of ``pad_relation_stacks`` (slices back to num_rel)."""
+    keys = shardable_weight_keys(graph)
+    out = dict(tree)
+    for level in ("enc1", "enc2"):
+        leaves = dict(tree[level])
+        for key in keys:
+            k = graph.adj[key].num_rel
+            if leaves[key].shape[0] > k:
+                leaves[key] = leaves[key][:k]
+        out[level] = leaves
+    return out
+
+
+def _is_sharded_path(path, sharded_keys: frozenset) -> bool:
+    """True when a pytree path addresses a relation-sharded enc leaf —
+    matches params trees AND Adam-state trees ({"m": params-like, ...})."""
+    for a, b in zip(path, path[1:]):
+        if (
+            getattr(a, "key", None) in ("enc1", "enc2")
+            and getattr(b, "key", None) in sharded_keys
+        ):
+            return True
+    return False
+
+
+def _psum_replicated_leaves(grads, sharded_keys: frozenset, axes):
+    """Trailing gradient psum, per leaf kind.
+
+    Replicated leaves (decoder, non-dense enc stacks): psum over BOTH
+    axes — each device's VJP covers only its own edges/batch slice.
+
+    Relation-sharded enc leaves: psum over the ROW axis only.  Over the
+    edge axis their grads are already exact (cross-device loss
+    contributions arrive through ``gather_rows``'s backward, which sums
+    cotangents over the whole mesh before the local einsum VJP), but the
+    relation shard is REPLICATED across the row axis and each row device
+    backprops through only its own destination-row block of the
+    adjacency — those partial sums still have to meet.  This psum is
+    k_loc/ne of the full stack, riding the (cheap, intra-host) row axis."""
+
+    def fix(path, g):
+        if _is_sharded_path(path, sharded_keys):
+            return jax.lax.psum(g, axes[0])
+        return jax.lax.psum(g, axes)
+
+    return jax.tree_util.tree_map_with_path(fix, grads)
+
+
+def shard_state_tree(tree, graph: ShardedGraph, mesh: Mesh, axes=AXES):
+    """device_put a params-shaped (or Adam-state-shaped) pytree onto the
+    mesh: relation-sharded enc leaves over the edge axis, everything
+    else replicated."""
+    from jax.sharding import NamedSharding
+
+    keys = shardable_weight_keys(graph)
+    edge_sh = NamedSharding(mesh, P((axes[1],)))
+    repl = NamedSharding(mesh, P())
+
+    def put(path, leaf):
+        if _is_sharded_path(path, keys):
+            return jax.device_put(leaf, edge_sh)
+        return jax.device_put(leaf, repl)
+
+    return jax.tree_util.tree_map_with_path(put, tree)
+
+
 def encode_sharded(
     params,
     graph: ShardedGraph,
@@ -53,6 +177,7 @@ def encode_sharded(
     per_relation_dropout_max: int = 64,
     axes=AXES,
     spmm_precision: str = "highest",
+    sharded_keys: frozenset = frozenset(),
 ) -> Dict[str, jax.Array]:
     """Two-layer encoder inside shard_map over a (row, edge) mesh.
 
@@ -60,17 +185,32 @@ def encode_sharded(
     ``decagon/deep/layers.py:70-118``); every device computes identical
     dropout masks (shared rng), so the psum'd + gathered aggregation
     equals the single-chip forward draw-for-draw.  Returns the FULL
-    per-type node tables (identical on every device)."""
+    per-type node tables (identical on every device).
+
+    ``sharded_keys``: edge types whose enc1/enc2 stacks arrive as LOCAL
+    ``[k_loc, F, H]`` relation blocks (weight sharding over the edge
+    axis).  Their dropout draws fold the edge index into the rng (each
+    shard masks its own relations — same marginal distribution as the
+    single-chip draw, different stream).  When any key is sharded the
+    collectives switch to the explicit-adjoint pair
+    (``edge_accum``/``gather_rows``) so gradients of sharded leaves come
+    out exact without a trailing psum."""
     row_ax, edge_ax = axes
     e_idx = jax.lax.axis_index(edge_ax)
     num_types = len(graph.num_nodes)
+    shard_w = bool(sharded_keys)
+    nr = graph.mesh_shape[0]
 
     def _rng(et, tag):
         if rng is None:
             return None
-        return jax.random.fold_in(rng, tag * 1009 + et[0] * 31 + et[1])
+        r = jax.random.fold_in(rng, tag * 1009 + et[0] * 31 + et[1])
+        if etkey(et) in sharded_keys:
+            # Independent masks per relation shard (weights are local).
+            r = jax.random.fold_in(r, e_idx)
+        return r
 
-    def aggregate(p_stack: jax.Array, adj) -> jax.Array:
+    def aggregate(p_stack: jax.Array, adj, local_k: bool) -> jax.Array:
         """sum_k A_k @ P_k -> full [N_i, H] via local block + collectives."""
         k, n_j, h = p_stack.shape
         nb = adj.n_rows_block
@@ -80,6 +220,12 @@ def encode_sharded(
             or (spmm_impl == "auto" and not use_dense
                 and jax.default_backend() != "cpu")
         )
+        if local_k and not use_dense:
+            raise ValueError(
+                "weight-sharded edge types require the dense relation "
+                "stacks (COO/Pallas layouts address the global relation "
+                "space)"
+            )
         if use_pallas:
             from decagon_tpu.ops.spmm_pallas import _spmm_pallas_flat_op
 
@@ -96,17 +242,26 @@ def encode_sharded(
                 spmm_precision,
             )
         elif use_dense:
-            # Relations are split over the edge axis; slice this device's
-            # K_loc window (pad first so the window never clamps).
-            p_pad = (
-                jnp.pad(p_stack, ((0, adj.k_loc * graph.mesh_shape[1] - k),
-                                  (0, 0), (0, 0)))
-                if adj.k_loc * graph.mesh_shape[1] != k
-                else p_stack
-            )
-            p_slice = jax.lax.dynamic_slice(
-                p_pad, (e_idx * adj.k_loc, 0, 0), (adj.k_loc, n_j, h)
-            )
+            if local_k:
+                # Weight-sharded: p_stack IS this device's relation
+                # block — no pad/slice.
+                p_slice = p_stack
+            else:
+                # Relations are split over the edge axis; slice this
+                # device's K_loc window (pad first so the window never
+                # clamps).
+                p_pad = (
+                    jnp.pad(
+                        p_stack,
+                        ((0, adj.k_loc * graph.mesh_shape[1] - k),
+                         (0, 0), (0, 0)),
+                    )
+                    if adj.k_loc * graph.mesh_shape[1] != k
+                    else p_stack
+                )
+                p_slice = jax.lax.dynamic_slice(
+                    p_pad, (e_idx * adj.k_loc, 0, 0), (adj.k_loc, n_j, h)
+                )
             dense = adj.dense[0]
             if dense.dtype == jnp.bfloat16:
                 p_slice = p_slice.astype(jnp.bfloat16)
@@ -121,6 +276,16 @@ def encode_sharded(
             part = jax.ops.segment_sum(
                 msgs, adj.receivers[0], num_segments=nb
             )
+        if shard_w:
+            from decagon_tpu.parallel.collectives import (
+                edge_accum,
+                gather_rows,
+            )
+
+            block = edge_accum(edge_ax)(part)
+            return gather_rows(
+                row_ax, tuple(axes), adj.n_rows, nb, nr
+            )(block)
         block = jax.lax.psum(part, edge_ax)  # [Nb, H]
         full = jax.lax.all_gather(
             block, row_ax, axis=0, tiled=True
@@ -144,7 +309,9 @@ def encode_sharded(
                     per_relation_dropout_max,
                 )
                 term = l2_normalize_rows(
-                    aggregate(p_stack, graph.adj[key])
+                    aggregate(
+                        p_stack, graph.adj[key], key in sharded_keys
+                    )
                 )
                 acc = term if acc is None else acc + term
             if acc is None:
@@ -164,6 +331,7 @@ def make_sharded_train_step(
     mesh: Mesh,
     graph_template: ShardedGraph,
     axes=AXES,
+    shard_weights: bool = False,
 ) -> Callable:
     """Jitted ``step(params, opt_state, sharded_graph, k, rows, cols,
     base_rng, step_no)``.
@@ -171,7 +339,13 @@ def make_sharded_train_step(
     ``rows``/``cols`` are the full [batch_size] arrays, data-parallel over
     all mesh devices (batch_size must divide the device count).  The
     per-step RNG is ``fold_in(base_rng, step_no)`` computed in-jit (same
-    stream as the single-device step)."""
+    stream as the single-device step).
+
+    ``shard_weights``: enc1/enc2 stacks of dense edge types (and their
+    gradients / Adam moments, via the caller's shardings) live sharded
+    on the relation axis over the edge mesh axis — the per-step gradient
+    all-reduce shrinks from the full parameter size to the replicated
+    decoder leaves."""
     et_key = etkey(edge_type)
     loss_name = cfg.loss
     n_shards = mesh.shape[axes[0]] * mesh.shape[axes[1]]
@@ -181,6 +355,11 @@ def make_sharded_train_step(
         )
     local_batch = cfg.batch_size // n_shards
     g_specs = sharded_pspecs(graph_template, axes)
+    sharded_keys = (
+        shardable_weight_keys(graph_template) if shard_weights
+        else frozenset()
+    )
+    p_specs = make_param_pspecs(graph_template, axes) if sharded_keys else P()
     mc = model.config
 
     def local_loss(params, graph: ShardedGraph, k, rows, cols, rng):
@@ -197,6 +376,7 @@ def make_sharded_train_step(
             per_relation_dropout_max=mc.per_relation_dropout_max,
             axes=axes,
             spmm_precision=mc.spmm_precision,
+            sharded_keys=sharded_keys,
         )
         # Scoring is deterministic given embeddings (reference parity —
         # optimizer.py:63-85 applies no decoder-input dropout).
@@ -222,16 +402,17 @@ def make_sharded_train_step(
         loss, grads = jax.value_and_grad(local_loss)(
             params, graph, k, rows, cols, rng
         )
-        return (
-            jax.lax.psum(loss, axes),
-            jax.lax.psum(grads, axes),
-        )
+        if sharded_keys:
+            grads = _psum_replicated_leaves(grads, sharded_keys, axes)
+        else:
+            grads = jax.lax.psum(grads, axes)
+        return jax.lax.psum(loss, axes), grads
 
     sharded_grads = jax.shard_map(
         grads_fn,
         mesh=mesh,
-        in_specs=(P(), g_specs, P(), P(axes), P(axes), P()),
-        out_specs=(P(), P()),
+        in_specs=(p_specs, g_specs, P(), P(axes), P(axes), P()),
+        out_specs=(P(), p_specs),
         check_vma=False,
     )
 
@@ -253,6 +434,7 @@ def make_sharded_chunked_train_step(
     mesh: Mesh,
     graph_template: ShardedGraph,
     axes=AXES,
+    shard_weights: bool = False,
 ) -> Callable:
     """Device-resident multi-step training over the (row, edge) mesh: ONE
     jitted dispatch runs a ``lax.scan`` of optimization steps with a
@@ -260,6 +442,10 @@ def make_sharded_chunked_train_step(
     counterpart of ``decagon_tpu.train.step.make_chunked_train_step``
     (VERDICT r2 item 1: the mesh path previously paid a host round trip
     per step, which dominates on remote-attached chips).
+
+    ``shard_weights`` keeps the dense edge types' enc stacks (and their
+    Adam moments) relation-sharded over the edge axis; requires the
+    ``fused_adam``-shaped optimizer state (``{"m", "v", "t"}``).
 
     The whole chunk (scan + optimizer updates) runs INSIDE ``shard_map``:
     params/opt_state are replicated (every device computes the identical
@@ -279,6 +465,22 @@ def make_sharded_chunked_train_step(
             f"batch_size {cfg.batch_size} must divide over {n_shards} shards"
         )
     g_specs = sharded_pspecs(graph_template, axes)
+    sharded_keys = (
+        shardable_weight_keys(graph_template) if shard_weights
+        else frozenset()
+    )
+    if sharded_keys:
+        p_specs = make_param_pspecs(graph_template, axes)
+        if cfg.lazy_decoder_adam:
+            raise ValueError(
+                "shard_weights requires the fused/plain Adam state "
+                "(lazy_decoder_adam's multi_transform state cannot be "
+                "given per-leaf shardings here)"
+            )
+        opt_specs = {"m": p_specs, "v": p_specs, "t": P()}
+    else:
+        p_specs = P()
+        opt_specs = P()
     mc = model.config
     ns = max(1, cfg.neg_sample_size)
     local_batch = cfg.batch_size // n_shards
@@ -297,6 +499,7 @@ def make_sharded_chunked_train_step(
             per_relation_dropout_max=mc.per_relation_dropout_max,
             axes=axes,
             spmm_precision=mc.spmm_precision,
+            sharded_keys=sharded_keys,
         )
 
         def make_branch(et):
@@ -336,7 +539,10 @@ def make_sharded_chunked_train_step(
                 params, graph, b, kk, r, c, rng
             )
             loss = jax.lax.psum(loss, axes)
-            grads = jax.lax.psum(grads, axes)
+            if sharded_keys:
+                grads = _psum_replicated_leaves(grads, sharded_keys, axes)
+            else:
+                grads = jax.lax.psum(grads, axes)
             updates, new_opt = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             keep = lambda n, o: jnp.where(v, n, o)
@@ -353,10 +559,10 @@ def make_sharded_chunked_train_step(
         local_chunk,
         mesh=mesh,
         in_specs=(
-            P(), P(), g_specs, P(),
+            p_specs, opt_specs, g_specs, P(),
             P(), P(), P(None, axes), P(None, axes), P(), P(),
         ),
-        out_specs=(P(), P(), P()),
+        out_specs=(p_specs, opt_specs, P()),
         check_vma=False,
     )
     return jax.jit(sharded_chunk, donate_argnums=(0, 1))
@@ -367,12 +573,18 @@ def make_sharded_embed_fn(
     mesh: Mesh,
     graph_template: ShardedGraph,
     axes=AXES,
+    shard_weights: bool = False,
 ) -> Callable:
     """Jitted deterministic full-graph forward over the sharded graph:
     ``embed(params, sharded_graph) -> {"0": [N_0, H2], ...}`` (full,
     replicated node tables — feed straight into ``make_emb_scores``
     scorers / the ``AccuracyEvaluator``)."""
     g_specs = sharded_pspecs(graph_template, axes)
+    sharded_keys = (
+        shardable_weight_keys(graph_template) if shard_weights
+        else frozenset()
+    )
+    p_specs = make_param_pspecs(graph_template, axes) if sharded_keys else P()
     mc = model.config
 
     def local(params, graph: ShardedGraph):
@@ -383,13 +595,14 @@ def make_sharded_embed_fn(
             per_relation_dropout_max=mc.per_relation_dropout_max,
             axes=axes,
             spmm_precision=mc.spmm_precision,
+            sharded_keys=sharded_keys,
         )
 
     return jax.jit(
         jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), g_specs),
+            in_specs=(p_specs, g_specs),
             out_specs=P(),
             check_vma=False,
         )

@@ -78,6 +78,7 @@ class Trainer:
             from decagon_tpu.parallel.sharded import (
                 make_sharded_embed_fn,
                 make_sharded_train_step,
+                shardable_weight_keys,
             )
             from decagon_tpu.train.step import make_optimizer
 
@@ -87,19 +88,27 @@ class Trainer:
                 self.device_graph = build_sharded_device_graph(
                     graph, splits, mesh
                 )
+            self.shard_weights = bool(
+                config.shard_weights
+                and not config.lazy_decoder_adam
+                and shardable_weight_keys(self.device_graph)
+            )
             self.optimizer = make_optimizer(config)
             self.steps = {
                 et: make_sharded_train_step(
                     model, et, config, self.optimizer, mesh,
                     self.device_graph,
+                    shard_weights=self.shard_weights,
                 )
                 for et in self.device_graph.edge_types
             }
             self.embed_fn = make_sharded_embed_fn(
-                model, mesh, self.device_graph
+                model, mesh, self.device_graph,
+                shard_weights=self.shard_weights,
             )
         else:
             self.device_graph = device_graph
+            self.shard_weights = False
             self.steps, self.optimizer = make_train_steps(
                 model, device_graph, config
             )
@@ -124,15 +133,47 @@ class Trainer:
             self.params, self.opt_state = _init(init_rng)
             self.global_step = 0
         if mesh is not None:
-            # Commit replicated state to the mesh up front: the sharded
-            # step's outputs carry NamedSharding(mesh, P()), so without
-            # this the second call of every edge type's step recompiles
-            # for the new input shardings.
+            # Commit state to the mesh up front: the sharded step's
+            # outputs carry NamedShardings, so without this the second
+            # call of every edge type's step recompiles for the new
+            # input shardings.
             from jax.sharding import NamedSharding, PartitionSpec
 
             repl = NamedSharding(mesh, PartitionSpec())
-            self.params = jax.device_put(self.params, repl)
-            self.opt_state = jax.device_put(self.opt_state, repl)
+            if self.shard_weights:
+                from decagon_tpu.parallel.sharded import (
+                    pad_relation_stacks,
+                    shard_state_tree,
+                )
+
+                self.params = shard_state_tree(
+                    pad_relation_stacks(self.params, self.device_graph),
+                    self.device_graph, mesh,
+                )
+                if not (
+                    isinstance(self.opt_state, dict)
+                    and {"m", "v", "t"} <= set(self.opt_state)
+                ):
+                    raise ValueError(
+                        "shard_weights expects the fused_adam state "
+                        "({'m','v','t'}); pass config.shard_weights="
+                        "False for other optimizer states"
+                    )
+                self.opt_state = shard_state_tree(
+                    {
+                        "m": pad_relation_stacks(
+                            self.opt_state["m"], self.device_graph
+                        ),
+                        "v": pad_relation_stacks(
+                            self.opt_state["v"], self.device_graph
+                        ),
+                        "t": self.opt_state["t"],
+                    },
+                    self.device_graph, mesh,
+                )
+            else:
+                self.params = jax.device_put(self.params, repl)
+                self.opt_state = jax.device_put(self.opt_state, repl)
             self.step_rng = jax.device_put(self.step_rng, repl)
         self.iteration_hook = iteration_hook
         self.epoch_hook = epoch_hook
@@ -209,6 +250,7 @@ class Trainer:
                 self._chunk_fn = make_sharded_chunked_train_step(
                     self.model, self.config, self.optimizer, self.mesh,
                     self.device_graph,
+                    shard_weights=self.shard_weights,
                 )
             else:
                 from decagon_tpu.train.step import make_chunked_train_step

@@ -351,3 +351,111 @@ def test_sharded_train_step_runs_and_learns(world):
         losses.append(float(loss))
     assert np.all(np.isfinite(losses))
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (1, 8), (4, 2), (8, 1)])
+def test_weight_sharded_grads_match_single_chip(world, shape):
+    """Relation-sharded enc weights (shard_weights): loss and UNPADDED
+    gradients must equal the single-chip computation exactly.  The
+    sharded leaves' grads arrive through the explicit-adjoint
+    collectives (edge_accum/gather_rows backward) plus a row-axis psum;
+    replicated leaves keep the both-axes psum."""
+    from decagon_tpu.parallel.sharded import (
+        _psum_replicated_leaves,
+        make_param_pspecs,
+        pad_relation_stacks,
+        shard_state_tree,
+        shardable_weight_keys,
+        unpad_relation_stacks,
+    )
+
+    graph, splits, device_graph, model, params = world
+    rng = np.random.default_rng(0)
+    rows = jnp.asarray(rng.integers(0, 48, size=64), jnp.int32)
+    cols = jnp.asarray(rng.integers(0, 48, size=64), jnp.int32)
+    et, k = (1, 1), jnp.int32(0)
+
+    def single_loss(p, gd):
+        emb = model.embeddings(p, gd, deterministic=True)
+        return jnp.sum(jnp.tanh(model.score_edges(
+            p, gd, emb, et, k, rows, cols, deterministic=True)))
+
+    want_loss, want_grads = jax.value_and_grad(single_loss)(
+        params, device_graph
+    )
+
+    mesh = make_mesh(shape=shape)
+    sg = build_sharded_device_graph(graph, splits, mesh)
+    keys = shardable_weight_keys(sg)
+    assert keys, "fixture must densify at least one edge type"
+    pp = shard_state_tree(pad_relation_stacks(params, sg), sg, mesh)
+    p_specs = make_param_pspecs(sg)
+    g_specs = sharded_pspecs(sg)
+
+    def local_loss(p, gd, r, c):
+        emb = encode_sharded(
+            p, gd, None, deterministic=True, spmm_impl="auto",
+            sharded_keys=keys,
+        )
+        sc = model.score_edges(p, gd, emb, et, k, r, c, deterministic=True)
+        return jnp.sum(jnp.tanh(sc))
+
+    def local_grads(p, gd, r, c):
+        loss, grads = jax.value_and_grad(local_loss)(p, gd, r, c)
+        grads = _psum_replicated_leaves(grads, keys, ("row", "edge"))
+        return jax.lax.psum(loss, ("row", "edge")), grads
+
+    fn = jax.jit(jax.shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(p_specs, g_specs, P(("row", "edge")), P(("row", "edge"))),
+        out_specs=(P(), p_specs), check_vma=False,
+    ))
+    got_loss, got_grads = fn(pp, sg, rows, cols)
+    got_grads = unpad_relation_stacks(got_grads, sg)
+
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    for w, g in zip(
+        jax.tree_util.tree_leaves(want_grads),
+        jax.tree_util.tree_leaves(got_grads),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-5
+        )
+
+
+def test_weight_sharded_trainer_matches_replicated_trainer(world):
+    """The mesh Trainer with shard_weights=True must produce the SAME
+    loss trace and post-training parameters as shard_weights=False on
+    the same mesh (identical RNG streams; dropout=0 fixture)."""
+    from decagon_tpu.train.step import TrainConfig
+    from decagon_tpu.train.trainer import Trainer
+    from decagon_tpu.parallel.sharded import unpad_relation_stacks
+
+    graph, splits, device_graph, model, params = world
+    mesh = make_mesh(shape=(2, 4))
+    batches = None
+    results = {}
+    for sw in (False, True):
+        t = Trainer(
+            model, graph, splits, device_graph,
+            TrainConfig(batch_size=64, shard_weights=sw), seed=0, mesh=mesh,
+        )
+        assert t.shard_weights == sw
+        if batches is None:
+            batches = list(t.scheduler.epoch())[:6]
+        losses = [float(t.train_batch(b)) for b in batches]
+        p = t.params
+        if sw:
+            p = unpad_relation_stacks(p, t.device_graph)
+        results[sw] = (losses, p)
+
+    np.testing.assert_allclose(
+        results[True][0], results[False][0], rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results[True][1]),
+        jax.tree_util.tree_leaves(results[False][1]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
