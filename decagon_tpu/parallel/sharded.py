@@ -12,11 +12,17 @@ The whole loss/grad computation runs inside ``shard_map``: each device
    (the boundary exchange: per-device send volume is one row block, not
    the full table),
 5. scores its slice of the batch, draws its share of negatives, and the
-   loss and gradients are psum-reduced over both axes,
+   loss and gradients are psum-reduced (per leaf kind — see
+   ``_psum_replicated_leaves``),
 
-so parameters stay replicated and the update equals the single-chip step
-with the same total batch.  The optimizer update happens outside
-shard_map on the replicated gradients.
+so the update equals the single-chip step with the same total batch.
+By default (``TrainConfig.shard_weights``) the per-relation enc weight
+stacks, their gradients, and their Adam moments stay SHARDED on the
+relation axis over the edge mesh axis — the module-level comment below
+explains why their gradient all-reduce is unnecessary.  The optimizer
+update happens outside shard_map (single-step path) or inside it
+(chunked path); either way it is elementwise, so GSPMD keeps every
+leaf's sharding.
 """
 
 from __future__ import annotations
@@ -126,7 +132,8 @@ def _is_sharded_path(path, sharded_keys: frozenset) -> bool:
     return False
 
 
-def _psum_replicated_leaves(grads, sharded_keys: frozenset, axes):
+def _psum_replicated_leaves(grads, sharded_keys: frozenset, axes,
+                            row_dtype=None):
     """Trailing gradient psum, per leaf kind.
 
     Replicated leaves (decoder, non-dense enc stacks): psum over BOTH
@@ -143,6 +150,12 @@ def _psum_replicated_leaves(grads, sharded_keys: frozenset, axes):
 
     def fix(path, g):
         if _is_sharded_path(path, sharded_keys):
+            if row_dtype is not None and g.dtype != row_dtype:
+                # Cross-host wire compression (TrainConfig.
+                # grad_reduce_dtype): reduce in bf16, update in fp32.
+                return jax.lax.psum(
+                    g.astype(row_dtype), axes[0]
+                ).astype(g.dtype)
             return jax.lax.psum(g, axes[0])
         return jax.lax.psum(g, axes)
 
@@ -360,6 +373,10 @@ def make_sharded_train_step(
         else frozenset()
     )
     p_specs = make_param_pspecs(graph_template, axes) if sharded_keys else P()
+    row_dtype = (
+        jnp.bfloat16 if cfg.grad_reduce_dtype in ("bfloat16", "bf16")
+        else None
+    )
     mc = model.config
 
     def local_loss(params, graph: ShardedGraph, k, rows, cols, rng):
@@ -403,7 +420,9 @@ def make_sharded_train_step(
             params, graph, k, rows, cols, rng
         )
         if sharded_keys:
-            grads = _psum_replicated_leaves(grads, sharded_keys, axes)
+            grads = _psum_replicated_leaves(
+                grads, sharded_keys, axes, row_dtype=row_dtype
+            )
         else:
             grads = jax.lax.psum(grads, axes)
         return jax.lax.psum(loss, axes), grads
@@ -481,6 +500,10 @@ def make_sharded_chunked_train_step(
     else:
         p_specs = P()
         opt_specs = P()
+    row_dtype = (
+        jnp.bfloat16 if cfg.grad_reduce_dtype in ("bfloat16", "bf16")
+        else None
+    )
     mc = model.config
     ns = max(1, cfg.neg_sample_size)
     local_batch = cfg.batch_size // n_shards
@@ -540,7 +563,9 @@ def make_sharded_chunked_train_step(
             )
             loss = jax.lax.psum(loss, axes)
             if sharded_keys:
-                grads = _psum_replicated_leaves(grads, sharded_keys, axes)
+                grads = _psum_replicated_leaves(
+                    grads, sharded_keys, axes, row_dtype=row_dtype
+                )
             else:
                 grads = jax.lax.psum(grads, axes)
             updates, new_opt = optimizer.update(grads, opt_state, params)

@@ -70,6 +70,13 @@ class TrainConfig:
     # at paper scale (~333 MiB/step replicated vs ~KBs of decoder grads
     # sharded).  Ignored off-mesh; incompatible with lazy_decoder_adam.
     shard_weights: bool = True
+    # Wire dtype for the sharded-leaf gradient psum over the ROW (DCN /
+    # cross-host) axis.  "bfloat16" halves the dominant multi-host
+    # per-step traffic (the k_loc enc-grad slice; scripts/
+    # scaling_model.py quantifies the efficiency effect); the Adam
+    # update still runs in fp32.  Replicated leaves (decoder) always
+    # reduce in fp32.
+    grad_reduce_dtype: str = "float32"
 
 
 def _lazy_rows_adam(

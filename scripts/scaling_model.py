@@ -1,0 +1,177 @@
+"""Multi-chip scaling model for the sharded train step (SURVEY §5.8).
+
+Only one physical TPU chip exists in this environment, so multi-chip
+efficiency cannot be measured end-to-end.  This script produces the
+next-most-honest artifact: per-device, per-step communication volumes
+computed EXACTLY from the paper-scale graph/model shapes for a range of
+(row, edge) meshes — for both the replicated-parameter design and the
+default weight-sharded design — combined with the measured single-chip
+step time (artifacts/perf/adam_probe.json) and public v5e link
+bandwidths into a projected scaling efficiency:
+
+    T(n) = max(T_compute(n), T_comm(n)),
+    T_compute(n) = T1 / n                (the step is HBM-bound and the
+                                          dense stacks split n ways),
+    efficiency(n) = T1 / (n * T(n)).
+
+Assumptions are printed into the artifact (bandwidths, no overlap —
+conservative: XLA overlaps collectives with per-edge-type compute).
+
+Writes artifacts/perf/scaling_model.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ART = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "perf",
+)
+
+# Paper-scale workload shapes (bench.py / quality_full.py config).
+N_PROT, N_DRUG = 19081, 645
+H1, H2 = 64, 32
+K_DD = 1926  # 963 side effects x 2 directions
+PARAM_BYTES_TOTAL = 333 * 2**20  # measured, adam_probe.json param_mib
+DEC_BYTES = 2**20  # decoder leaves (global + local factors), < 1 MiB
+F32 = 4
+
+# Public v5e fabric numbers (per chip): ICI ~ 4 links x 100 GB/s/dir
+# aggregate ~400 GB/s is the theoretical mesh aggregate; a single ring
+# direction sustains ~45 GB/s per link.  DCN per host ~ 25 GB/s.
+ICI_GBPS = 45.0
+DCN_GBPS = 25.0
+
+# Measured single-chip step (fused Adam), adam_probe.json.
+T1_MS = 21.2
+
+
+def ring_allreduce_bytes(size_bytes: int, n: int) -> float:
+    """Per-device bytes sent for a ring all-reduce of `size_bytes`."""
+    if n <= 1:
+        return 0.0
+    return 2.0 * size_bytes * (n - 1) / n
+
+
+def ring_allgather_bytes(shard_bytes: int, n: int) -> float:
+    """Per-device bytes sent to all-gather `shard_bytes` per device."""
+    if n <= 1:
+        return 0.0
+    return shard_bytes * (n - 1)
+
+
+def step_comm(nr: int, ne: int, shard_weights: bool,
+              grad_bytes_per_el: int = F32) -> dict:
+    """Per-device bytes sent per optimization step, by channel.
+
+    Activation exchange, per encoder layer (2 layers, fwd; the backward
+    re-runs the mirrored collectives, x2):
+      * psum of the [Nb, H] row-block partial over the edge axis
+        (ring all-reduce), for each of the 2 node-type tables;
+      * all_gather of row blocks over the row axis.
+    """
+    act = 0.0
+    for h in (H1, H2):
+        for n_nodes in (N_PROT, N_DRUG):
+            nb = -(-n_nodes // nr)
+            blk = nb * h * F32
+            act += ring_allreduce_bytes(blk, ne)  # edge-axis psum
+            act += ring_allgather_bytes(blk, nr)  # row-axis gather
+    act *= 2  # fwd + transposed collectives in bwd
+
+    if shard_weights:
+        enc_bytes = (PARAM_BYTES_TOTAL - DEC_BYTES) * grad_bytes_per_el // F32
+        grad_row = ring_allreduce_bytes(enc_bytes // ne, nr)
+        grad_both = ring_allreduce_bytes(DEC_BYTES, nr * ne)
+    else:
+        grad_row = 0.0
+        grad_both = ring_allreduce_bytes(PARAM_BYTES_TOTAL, nr * ne)
+    return {
+        "activations_mib": act / 2**20,
+        "grad_row_axis_mib": grad_row / 2**20,
+        "grad_mesh_mib": grad_both / 2**20,
+        "total_mib": (act + grad_row + grad_both) / 2**20,
+    }
+
+
+def project(nr: int, ne: int, shard_weights: bool, row_is_dcn: bool,
+            grad_bytes_per_el: int = F32) -> dict:
+    comm = step_comm(nr, ne, shard_weights, grad_bytes_per_el)
+    n = nr * ne
+    t_compute = T1_MS / n
+    # Row-axis traffic rides DCN on multi-host slices, ICI otherwise.
+    row_bw = DCN_GBPS if row_is_dcn else ICI_GBPS
+    act = comm["activations_mib"] * 2**20
+    # Split activation traffic by axis for bandwidth assignment.
+    act_edge = 0.0
+    act_row = 0.0
+    for h in (H1, H2):
+        for n_nodes in (N_PROT, N_DRUG):
+            nb = -(-n_nodes // nr)
+            blk = nb * h * F32
+            act_edge += 2 * ring_allreduce_bytes(blk, ne)
+            act_row += 2 * ring_allgather_bytes(blk, nr)
+    t_comm = (
+        act_edge / (ICI_GBPS * 1e9)
+        + act_row / (row_bw * 1e9)
+        + comm["grad_row_axis_mib"] * 2**20 / (row_bw * 1e9)
+        + comm["grad_mesh_mib"] * 2**20 / (ICI_GBPS * 1e9)
+    ) * 1e3  # ms
+    # Serial model (no overlap at all): compute then communicate.
+    t_serial = t_compute + t_comm
+    # Grad-overlap model (the standard pipelined schedule: the gradient
+    # reduction for step i hides behind step i+1's forward; the
+    # activation exchange stays on the critical path).
+    act_ms = (
+        act_edge / (ICI_GBPS * 1e9)
+        + act_row / (row_bw * 1e9)
+    ) * 1e3
+    grad_ms = t_comm - act_ms
+    t_overlap = max(t_compute, grad_ms) + act_ms
+    return {
+        **{k: round(v, 3) for k, v in comm.items()},
+        "t_compute_ms": round(t_compute, 3),
+        "t_comm_ms": round(t_comm, 3),
+        "t_step_serial_ms": round(t_serial, 3),
+        "t_step_grad_overlap_ms": round(t_overlap, 3),
+        "efficiency_serial": round(T1_MS / (n * t_serial), 3),
+        "efficiency_grad_overlap": round(T1_MS / (n * t_overlap), 3),
+    }
+
+
+def main():
+    meshes = [(1, 4), (2, 4), (1, 8), (2, 8), (4, 8)]
+    out = {
+        "assumptions": {
+            "t1_ms": T1_MS,
+            "ici_gbps_per_dir": ICI_GBPS,
+            "dcn_gbps": DCN_GBPS,
+            "model": "T(n)=max(T1/n, sum(bytes/bw)); no overlap "
+                     "(conservative); ring collectives",
+            "workload": "963-relation polypharmacy scale, H=64/32, "
+                        "bf16 dense stacks, fused Adam",
+        },
+        "meshes": {},
+    }
+    for nr, ne in meshes:
+        key = f"{nr}x{ne}"
+        out["meshes"][key] = {
+            "replicated": project(nr, ne, False, row_is_dcn=nr > 1),
+            "weight_sharded": project(nr, ne, True, row_is_dcn=nr > 1),
+            "weight_sharded_bf16_reduce": project(
+                nr, ne, True, row_is_dcn=nr > 1, grad_bytes_per_el=2
+            ),
+        }
+    os.makedirs(ART, exist_ok=True)
+    with open(os.path.join(ART, "scaling_model.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -459,3 +459,28 @@ def test_weight_sharded_trainer_matches_replicated_trainer(world):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_weight_sharded_bf16_grad_reduce_close(world):
+    """grad_reduce_dtype='bfloat16' (cross-host wire compression for the
+    sharded-leaf row psum) must track the fp32 trainer's loss trace to
+    bf16 tolerance."""
+    from decagon_tpu.train.step import TrainConfig
+    from decagon_tpu.train.trainer import Trainer
+
+    graph, splits, device_graph, model, params = world
+    mesh = make_mesh(shape=(2, 4))
+    batches = None
+    traces = {}
+    for dt in ("float32", "bfloat16"):
+        t = Trainer(
+            model, graph, splits, device_graph,
+            TrainConfig(batch_size=64, grad_reduce_dtype=dt),
+            seed=0, mesh=mesh,
+        )
+        if batches is None:
+            batches = list(t.scheduler.epoch())[:6]
+        traces[dt] = [float(t.train_batch(b)) for b in batches]
+    np.testing.assert_allclose(
+        traces["bfloat16"], traces["float32"], rtol=2e-2
+    )
