@@ -339,7 +339,9 @@ def test_sharded_train_step_runs_and_learns(world):
 
     train = splits[(1, 1, 0)].train
     losses = []
-    p = params
+    # The step donates its params/opt_state args; keep the module
+    # fixture's params alive for later tests.
+    p = jax.tree.map(jnp.copy, params)
     for it in range(12):
         idx = np.random.default_rng(it).integers(0, len(train), size=64)
         rows = jnp.asarray(train[idx, 0])
@@ -370,6 +372,9 @@ def test_weight_sharded_grads_match_single_chip(world, shape):
     )
 
     graph, splits, device_graph, model, params = world
+    # Earlier tests feed the fixture's params through donating steps;
+    # work on a private copy.
+    params = jax.tree.map(jnp.copy, params)
     rng = np.random.default_rng(0)
     rows = jnp.asarray(rng.integers(0, 48, size=64), jnp.int32)
     cols = jnp.asarray(rng.integers(0, 48, size=64), jnp.int32)
