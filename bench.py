@@ -46,6 +46,21 @@ def _progress(msg: str) -> None:
 _T0 = time.perf_counter()
 
 import jax
+
+# Persistent compile cache: remote-compile latency varies wildly between
+# sessions (60x observed); a pre-populated cache makes reruns immune.
+# No-op if the backend can't serialize executables.
+try:
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 
