@@ -110,6 +110,20 @@ def chunked_ms(trainer, chunk=16, n_chunks=6):
     return (time.perf_counter() - t0) / (n_chunks * chunk) * 1e3
 
 
+
+def _merge_artifact(key, entry):
+    """Merge an entry into the backend artifact (incremental save)."""
+    out = os.path.join(ART, f"sharded_bench_{jax.default_backend()}.json")
+    result = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            result = json.load(f)
+    result.setdefault(key, {}).update(entry)
+    os.makedirs(ART, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+
+
 def bench_fullscale_sharded():
     """Full-scale (963-relation) sharded entry: the paper-scale workload
     through the (1,1)-mesh scanned-chunk sharded step vs the single-chip
@@ -132,6 +146,12 @@ def bench_fullscale_sharded():
     )
     single = Trainer(model, graph, splits, dg, cfg, seed=0)
     single_ms = chunked_ms(single, chunk=16, n_chunks=3)
+    # Incremental save: a slow-compile day must not lose this half.
+    _merge_artifact("fullscale_963rel", {
+        "nnz": nnz,
+        "single_chunk16_ms_per_step": round(single_ms, 3),
+    })
+    print(f"single chunk16: {single_ms:.3f} ms/step", flush=True)
 
     from decagon_tpu.parallel.mesh import make_mesh
     from decagon_tpu.parallel.rowshard import build_sharded_device_graph
@@ -157,15 +177,7 @@ def bench_fullscale_sharded():
         "sharded_vs_single": round(sharded_ms / single_ms, 3),
         "sharded_edges_per_s": round(nnz / (sharded_ms / 1e3), 1),
     }
-    out = os.path.join(ART, f"sharded_bench_{jax.default_backend()}.json")
-    result = {}
-    if os.path.exists(out):
-        with open(out) as f:
-            result = json.load(f)
-    result["fullscale_963rel"] = entry
-    os.makedirs(ART, exist_ok=True)
-    with open(out, "w") as f:
-        json.dump(result, f, indent=1)
+    _merge_artifact("fullscale_963rel", entry)
     print(json.dumps(entry, indent=1))
 
 
