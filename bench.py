@@ -210,6 +210,23 @@ def bench_fullscale() -> dict:
             for key, a in device_graph.adj.items()
             if a.tiles_fwd is not None
         }
+        # Edge-weighted occupancy is the number that matters for kernel
+        # time: the per-type table can be dominated by tiny edge types
+        # (e.g. 3.5k drug-gene edges of 12.1M total) whose geometry the
+        # cost model deliberately trades away (tall source windows cost
+        # 4 MB DMA per tile — cheaper to run a few near-empty tiles).
+        occ_w = [
+            (
+                tiling_stats(a.tiles_fwd)["occupancy"],
+                int(np.count_nonzero(np.asarray(a.vals))),
+            )
+            for a in device_graph.adj.values()
+            if a.tiles_fwd is not None
+        ]
+        occupancy["edge_weighted"] = round(
+            sum(o * n for o, n in occ_w) / max(1, sum(n for _, n in occ_w)),
+            3,
+        )
         # bf16 single-pass MXU (fp32 accumulation) is the kernel's
         # production mode; fp32 (HIGHEST, 6-pass) kept for comparison.
         for tag, precision, windows in (
