@@ -34,6 +34,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# The ambient sitecustomize pins the TPU platform at import; honoring
+# JAX_PLATFORMS=cpu requires the config update too (verify-skill gotcha
+# — without this a "CPU" run lands on the chip and fights whatever is
+# training there).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compile cache (see bench.py): remote-compile latency varies
 # wildly between sessions; harmless no-op if unsupported.
 try:
