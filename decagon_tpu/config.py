@@ -92,6 +92,8 @@ class Config:
             neg_sample_weight=float(self.get("neg_sample_weights", 1.0)),
             num_epochs=int(self.get("NumEpochs", self.get("epochs", 50))),
             scan_chunk=int(self.get("ScanChunk", 0)),
+            schedule=str(self.get("TrainSchedule", "reference")),
+            relation_group=int(self.get("RelationGroup", 1)),
             lazy_decoder_adam=bool(self.get("LazyDecoderAdam", False)),
             shard_weights=bool(self.get("ShardWeights", True)),
             grad_reduce_dtype=str(self.get("GradReduceDtype", "float32")),

@@ -41,12 +41,17 @@ class ModelConfig:
     # decomposition) or "default" (single-pass bf16, ~2x faster,
     # fp32 accumulation).
     spmm_precision: str = "highest"
-    # Eval-scale decoder scoring: "auto"/"jnp" (XLA gather + einsum —
-    # the measured-best TPU implementation; see train/step.py's
-    # make_emb_scores for why) or "pallas" (fused-gather VMEM kernel,
-    # interpret-mode verified; compiled Mosaic currently rejects its
-    # gather — kept for future Mosaic gather support).
+    # Eval-scale decoder scoring: "auto" (the Pallas one-hot-matmul
+    # kernel on TPU where the tables fit VMEM, XLA gather + einsum
+    # elsewhere), "jnp" (force the XLA path), "pallas" (force the
+    # compiled kernel — raises off-TPU instead of silently running
+    # interpret mode), "pallas_interpret" (interpret-mode verification,
+    # any backend — orders of magnitude slower; tests only).
     sddmm_impl: str = "auto"
+    # MXU precision for the Pallas SDDMM: "highest" (exact fp32 — the
+    # one-hot gathers are lossless) or "default" (bf16 single-pass,
+    # ~6x less MXU work, ~1e-2 relative score error).
+    sddmm_precision: str = "highest"
 
 
 class DecagonModel:

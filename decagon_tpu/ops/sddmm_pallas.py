@@ -1,4 +1,4 @@
-"""Pallas TPU SDDMM kernel: fused gather + bilinear edge scoring.
+"""Pallas TPU SDDMM kernel: fused one-hot-matmul gather + bilinear scoring.
 
 The eval-scale decoder scoring op (BASELINE "custom Pallas SpMM and SDDMM
 kernels"; reference dense ``Z R Z^T`` reconstruction at
@@ -7,40 +7,39 @@ sampled form, three row gathers plus a tiny bilinear chain per edge:
 
     score[e] = ((z[rows[e]] * d[ks[e]]) @ G) . (z[cols[e]] * d[ks[e]])
 
-The XLA path (``decagon_tpu.ops.sddmm``) materializes each gathered
-``[B, d]`` operand in HBM between fusions.  This kernel keeps the node
-and relation tables resident in VMEM for the whole launch and fuses
-gather -> scale -> MXU matmul -> row reduction per edge tile, so HBM
-traffic is just the ``int32`` edge indices in and one ``f32`` score out
-(16 B/edge).
+The XLA path (``decagon_tpu.ops.sddmm``) routes the three gathers through
+XLA's row-gather, which runs ~226 ns/edge at eval scale on v5e
+(``artifacts/perf/sddmm_profile.json``).  This kernel keeps the node and
+relation tables resident in VMEM for the whole launch and performs every
+gather as a ONE-HOT MATMUL on the MXU — the same trick that makes the
+SpMM kernel (``ops/spmm_pallas.py``) compile: ``gather(T, idx) ==
+onehot(idx) @ T`` with the one-hot built by lane-aligned iota comparison.
+No ``tpu.dynamic_gather`` anywhere, so Mosaic's single-vreg gather
+limitation (the round-3 blocker: "Multiple source vregs along gather
+dimension") does not apply; the kernel compiles and runs at full speed.
 
-Gathers use Mosaic's ``tpu.dynamic_gather`` (lowered from
-``jnp.take_along_axis`` along the sublane axis), which requires the
-gather operand and index arrays to share a shape — hence ONE padded size
-``T`` serves as both the VMEM table height and the edge-tile length
-(tables are zero-padded rows; index tiles arrive as ``[T, 1]`` lane-
-broadcast to ``[T, lanes]``).  That caps the kernel at node/relation
-tables of a few thousand rows — exactly the drug-drug case (645 drugs x
-1926 relations) where 963-relation evaluation concentrates its work; the
-protein side falls back to the XLA path.
+Per edge tile of ``bt`` edges the kernel builds three one-hots
+(``[bt, T_rows]``, ``[bt, T_cols]``, ``[bt, T_rel]``), gathers via three
+MXU matmuls, then runs the bilinear chain — HBM traffic is just the
+``int32`` edge indices in and one ``f32`` score out (16 B/edge).  MXU
+cost is ~2*(T_rows + T_cols + T_rel)*128 flops/edge: at drug-drug eval
+scale (645-row tables, 1926 relations) ~1 Mflop/edge, a few ms per
+full 963-relation sweep — against ~100 ms for the XLA gather path.
+
+One-hot gathers are EXACT at fp32/HIGHEST precision (each output row is
+1.0 * table_row summed with zeros; the 6-pass bf16 decomposition of an
+fp32 operand is lossless), so "highest" reproduces the jnp path
+bit-for-bit up to reduction order.  "default" runs the one-hots and the
+chain in bf16 single-pass (fp32 accumulation): ~6x less MXU work, score
+error ~1e-2 relative — fine for AUROC ranking, selectable per call.
 
 Decoders: innerproduct, distmult (per-relation diagonal), dedicom
 (shared global ``G`` + per-relation diagonal).  Bilinear's per-relation
-full ``[d, d]`` matrices need a 3D gather — it stays on the XLA path.
+full ``[d, d]`` matrices would need a 3D gather — it stays on the XLA
+path (``supports`` returns False).
 
 Forward-only by design: training scores 512-edge batches (gather cost
 ~nothing); this kernel exists for the 10^5-10^6-edge evaluation sweeps.
-
-COMPILED-MODE STATUS (measured on v5e, round 3): Mosaic rejects the
-gather — ``tpu.dynamic_gather`` with a 1024x128 table fails with
-"Not implemented: Multiple source vregs along gather dimension", i.e.
-the lowering only supports gather operands spanning ONE vreg (8 f32
-rows) along the gathered dimension.  A one-hot-matmul fallback would
-cost ``2*t*H`` MXU flops per gathered row — orders of magnitude more
-than XLA's native gather at these table sizes — so the jnp path is the
-measured-best TPU implementation and this kernel is interpret-mode
-verified only (``ModelConfig.sddmm_impl="pallas"``), retained against
-future Mosaic gather support.
 """
 
 from __future__ import annotations
@@ -58,23 +57,35 @@ SUPPORTED_DECODERS = ("innerproduct", "distmult", "dedicom")
 
 _LANES = 128
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _gather_rows(table: jax.Array, idx_col: jax.Array) -> jax.Array:
-    """``out[i, :] = table[idx_col[i, 0], :]`` via tpu.dynamic_gather.
+def _onehot_gather(table, idx_col, precision):
+    """``out[i, :] = table[idx_col[i, 0], :]`` as an MXU one-hot matmul.
 
-    ``table`` [T, L] and the lane-broadcast index array must share a
-    shape (Mosaic's supported gather form).
-    """
-    t, lanes = table.shape
-    idx = jnp.broadcast_to(idx_col, (t, lanes))
-    return jnp.take_along_axis(table, idx, axis=0)
+    ``table`` [T, L]; ``idx_col`` [bt, 1] int32.  Exact for fp32 tables at
+    HIGHEST precision (1.0 is representable in every bf16 pass)."""
+    t = table.shape[0]
+    bt = idx_col.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
+    oh = (iota == idx_col).astype(table.dtype)
+    return jax.lax.dot_general(
+        oh,
+        table,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
 
 
-def _sddmm_kernel(*refs, mode: str, precision):
+def _sddmm_kernel(*refs, mode: str, precision, compute_dtype):
     if mode == "dedicom":
         z_r_ref, z_c_ref, rel_ref, g_ref, ks_ref, rows_ref, cols_ref, out_ref = refs
     elif mode == "distmult":
@@ -82,26 +93,28 @@ def _sddmm_kernel(*refs, mode: str, precision):
     else:  # innerproduct
         z_r_ref, z_c_ref, ks_ref, rows_ref, cols_ref, out_ref = refs
 
-    zr = _gather_rows(z_r_ref[:], rows_ref[:])
-    zc = _gather_rows(z_c_ref[:], cols_ref[:])
+    zr = _onehot_gather(z_r_ref[:], rows_ref[:], precision)  # [bt, L] f32
+    zc = _onehot_gather(z_c_ref[:], cols_ref[:], precision)
     if mode == "dedicom":
-        dk = _gather_rows(rel_ref[:], ks_ref[:])
+        dk = _onehot_gather(rel_ref[:], ks_ref[:], precision)
         left = jnp.dot(
-            zr * dk, g_ref[:],
-            preferred_element_type=jnp.float32, precision=precision,
+            (zr * dk).astype(compute_dtype),
+            g_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=precision,
         )
         right = zc * dk
     elif mode == "distmult":
-        left = zr * _gather_rows(rel_ref[:], ks_ref[:])
+        left = zr * _onehot_gather(rel_ref[:], ks_ref[:], precision)
         right = zc
     else:
         left, right = zr, zc
     out_ref[:] = jnp.sum(left * right, axis=1, keepdims=True)
 
 
-def _pad_table(table: jax.Array, t: int) -> jax.Array:
+def _pad_table(table: jax.Array, t: int, dtype) -> jax.Array:
     n, d = table.shape
-    return jnp.pad(table, ((0, t - n), (0, _LANES - d)))
+    return jnp.pad(table, ((0, t - n), (0, _LANES - d))).astype(dtype)
 
 
 def sddmm_pallas_edges(
@@ -114,9 +127,9 @@ def sddmm_pallas_edges(
     name: str,
     glb: Optional[jax.Array] = None,
     rel_diag: Optional[jax.Array] = None,
-    tile: Optional[int] = None,
+    tile: int = 512,
     interpret: bool = False,
-    precision=jax.lax.Precision.HIGHEST,
+    precision: str = "highest",
 ) -> jax.Array:
     """Fused-gather edge scoring: ``[B]`` logits for ``(ks, rows, cols)``.
 
@@ -125,8 +138,10 @@ def sddmm_pallas_edges(
     ``relation_diag`` or dedicom's ``local_diag``).  ``glb``: [d, d]
     shared interaction matrix (dedicom).  ``ks/rows/cols``: int32 index
     arrays of any (identical) shape; padding indices may be anything
-    in-table (callers trim).  Exact fp32 numerics vs
-    ``decagon_tpu.ops.sddmm.sddmm_pairs`` at precision HIGHEST.
+    in-table (callers trim).  ``tile``: edges per grid step.
+    ``precision``: "highest" (exact fp32 vs
+    ``decagon_tpu.ops.sddmm.sddmm_pairs``) or "default" (bf16 MXU
+    passes, ~1e-2 relative error, ~6x less MXU work).
     """
     if name not in SUPPORTED_DECODERS:
         raise ValueError(
@@ -135,31 +150,38 @@ def sddmm_pallas_edges(
     d = z_rows.shape[1]
     if d > _LANES:
         raise ValueError(f"feature dim {d} exceeds one lane tile ({_LANES})")
+    prec = _PRECISIONS[precision]
+    compute_dtype = jnp.float32 if precision == "highest" else jnp.bfloat16
     out_shape = ks.shape
     ks = ks.reshape(-1)
     rows = rows.reshape(-1)
     cols = cols.reshape(-1)
     b = ks.shape[0]
 
-    min_rows = max(
-        z_rows.shape[0],
-        z_cols.shape[0],
-        rel_diag.shape[0] if rel_diag is not None else 0,
+    bt = tile
+    t_r = _round_up(max(z_rows.shape[0], 8), _LANES)
+    t_c = _round_up(max(z_cols.shape[0], 8), _LANES)
+    t_k = (
+        _round_up(max(rel_diag.shape[0], 8), _LANES)
+        if rel_diag is not None and name != "innerproduct"
+        else 0
     )
-    t = tile if tile is not None else max(1024, _round_up(min_rows, 256))
-    if t < min_rows:
-        raise ValueError(f"tile {t} smaller than largest table {min_rows}")
-    b_pad = _round_up(max(b, 1), t)
+    b_pad = _round_up(max(b, 1), bt)
 
     def pad_idx(a):
         return jnp.pad(a.astype(jnp.int32), (0, b_pad - b)).reshape(-1, 1)
 
-    tables = [_pad_table(z_rows, t), _pad_table(z_cols, t)]
+    tables = [
+        _pad_table(z_rows, t_r, compute_dtype),
+        _pad_table(z_cols, t_c, compute_dtype),
+    ]
     if name in ("distmult", "dedicom"):
-        tables.append(_pad_table(rel_diag, t))
+        tables.append(_pad_table(rel_diag, t_k, compute_dtype))
     if name == "dedicom":
         tables.append(
-            jnp.pad(glb, ((0, _LANES - d), (0, _LANES - d)))
+            jnp.pad(glb, ((0, _LANES - d), (0, _LANES - d))).astype(
+                compute_dtype
+            )
         )
 
     table_specs = [
@@ -168,28 +190,27 @@ def sddmm_pallas_edges(
         )
         for tab in tables
     ]
-    idx_spec = pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # MXU flops: 2*bt*T*L per one-hot gather (+ the dedicom chain).
+    gather_flops = 2 * bt * (t_r + t_c + t_k) * _LANES
+    chain_flops = 2 * bt * _LANES * _LANES if name == "dedicom" else 0
     out = pl.pallas_call(
-        functools.partial(_sddmm_kernel, mode=name, precision=precision),
-        grid=(b_pad // t,),
+        functools.partial(
+            _sddmm_kernel, mode=name, precision=prec,
+            compute_dtype=compute_dtype,
+        ),
+        grid=(b_pad // bt,),
         in_specs=table_specs + [idx_spec] * 3,
         out_specs=pl.BlockSpec(
-            (t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b_pad, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            # dedicom runs one [t, L] x [L, L] MXU matmul per tile; the
-            # diagonal decoders are elementwise multiply + row reduction
-            # (~3 VPU ops per element) — no matmul term for them.
-            flops=(b_pad // t)
-            * (
-                2 * t * _LANES * _LANES
-                if name == "dedicom"
-                else 3 * t * _LANES
-            ),
-            # Tables are loaded into VMEM once per launch (the block index
-            # map is constant), not per grid step.
-            bytes_accessed=b_pad * 16 + sum(4 * tab.size for tab in tables),
+            flops=(b_pad // bt) * (gather_flops + chain_flops),
+            # Tables load into VMEM once per launch (constant index map);
+            # per-step traffic is the index tiles + score tile.
+            bytes_accessed=b_pad * 16
+            + sum(tab.size * tab.dtype.itemsize for tab in tables),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -198,26 +219,29 @@ def sddmm_pallas_edges(
 
 
 def supports(name: str, n_rows: int, n_cols: int, num_rel: int,
-             dim: int, max_table: int = 4096,
+             dim: int, max_table: int = 8192, tile: int = 512,
              vmem_budget: int = 12 * 1024 * 1024) -> bool:
     """Static eligibility check for the kernel (see module docstring).
 
-    Bounds the VMEM footprint, not just the table height: the padded f32
-    tables (2-3 of [t, 128] + dedicom's [128, 128] global) stay resident
-    for the whole launch, and each grid step materializes ~5 gathered/
-    intermediate [t, 128] f32 arrays (zr/zc/dk/left/right) plus the
-    [t, 1]-brodcast index tiles — at t=4096 that approaches the ~16 MB
-    VMEM; 12 MB leaves headroom for Mosaic's own buffers."""
+    Bounds the fp32 ("highest") VMEM footprint: the padded tables stay
+    resident for the whole launch, and each grid step materializes three
+    ``[tile, T]`` one-hot operands plus the gathered/intermediate
+    ``[tile, 128]`` arrays.  12 MB of the ~16 MB VMEM leaves headroom for
+    Mosaic's own buffers."""
     if name not in SUPPORTED_DECODERS or dim > _LANES:
         return False
-    min_rows = max(n_rows, n_cols, num_rel if name != "innerproduct" else 0)
-    if min_rows > max_table:
+    t_r = _round_up(max(n_rows, 8), _LANES)
+    t_c = _round_up(max(n_cols, 8), _LANES)
+    t_k = _round_up(max(num_rel, 8), _LANES) if name != "innerproduct" else 0
+    if max(t_r, t_c, t_k) > max_table:
         return False
-    t = max(1024, _round_up(min_rows, 256))
-    n_tables = {"innerproduct": 2, "distmult": 3, "dedicom": 3}[name]
-    table_bytes = n_tables * t * _LANES * 4
+    table_bytes = (t_r + t_c + t_k) * _LANES * 4
     if name == "dedicom":
         table_bytes += _LANES * _LANES * 4
-    intermediate_bytes = 5 * t * _LANES * 4  # zr/zc/dk/left/right
-    idx_out_bytes = 4 * t * 4  # three index tiles + one out tile
-    return table_bytes + intermediate_bytes + idx_out_bytes <= vmem_budget
+    onehot_bytes = tile * (t_r + t_c + t_k) * 4
+    intermediate_bytes = 5 * tile * _LANES * 4  # zr/zc/dk/left/right
+    idx_out_bytes = 4 * tile * 4  # three index tiles + one out tile
+    return (
+        table_bytes + onehot_bytes + intermediate_bytes + idx_out_bytes
+        <= vmem_budget
+    )

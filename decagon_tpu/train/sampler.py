@@ -22,6 +22,14 @@ Parity spec: reference ``EdgeMinibatchIterator`` scheduling
 The reference checks exhaustion with ``iter % 4`` even when the cycle
 period is 3 (``minibatch.py:304``), which misfiles free relations; the
 intended semantics (fixed -> reset, free -> retire) are implemented.
+
+``schedule="balanced"`` replaces the reference cycle with one epoch =
+every relation's batches exactly once, in a global random interleave.
+The reference schedule re-feeds the 3 fixed edge types alongside EVERY
+free batch, so at paper scale 75% of the 72k steps/epoch re-train the
+same 3 relations ~30x over (measured:
+``artifacts/perf/epoch_profile.json``); balanced epochs visit the same
+training edges with ~3.4x fewer optimization steps.
 """
 
 from __future__ import annotations
@@ -53,7 +61,11 @@ class MinibatchScheduler:
         splits: Dict[RelationKey, EdgeSplit],
         batch_size: int = 512,
         seed: int = 123,
+        schedule: str = "reference",
     ):
+        if schedule not in ("reference", "balanced"):
+            raise ValueError(f"unknown schedule {schedule!r}")
+        self.schedule = schedule
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.keys: List[RelationKey] = list(graph.relation_keys())
@@ -73,12 +85,47 @@ class MinibatchScheduler:
 
     def epoch(self) -> Iterator[Minibatch]:
         """Shuffle and yield minibatches until the free pool drains."""
+        if self.schedule == "balanced":
+            yield from self._epoch_balanced()
+            return
         self.shuffle()
         while True:
             batch = self._next()
             if batch is None:
                 return
             yield batch
+
+    def _epoch_balanced(self) -> Iterator[Minibatch]:
+        """One epoch = every relation's full batches once, globally
+        shuffled (tiny relations emit one wrap-padded batch, as in the
+        reference schedule)."""
+        slots: List[Tuple[int, np.ndarray]] = []
+        for idx, key in enumerate(self.keys):
+            perm = self.rng.permutation(self.train_edges[key].shape[0])
+            edges = self.train_edges[key][perm]
+            self.train_edges[key] = edges
+            n = edges.shape[0]
+            if n == 0:
+                continue
+            if n < self.batch_size:
+                reps = -(-self.batch_size // n)
+                slots.append(
+                    (idx, np.tile(edges, (reps, 1))[: self.batch_size])
+                )
+                continue
+            for start in range(0, n - self.batch_size + 1, self.batch_size):
+                slots.append((idx, edges[start : start + self.batch_size]))
+        order = self.rng.permutation(len(slots))
+        for slot in order:
+            idx, batch = slots[slot]
+            key = self.keys[idx]
+            yield Minibatch(
+                edge_type=key[:2],
+                k=key[2],
+                global_idx=idx,
+                rows=np.ascontiguousarray(batch[:, 0], dtype=np.int32),
+                cols=np.ascontiguousarray(batch[:, 1], dtype=np.int32),
+            )
 
     def shuffle(self) -> None:
         for key in self.keys:
@@ -91,10 +138,19 @@ class MinibatchScheduler:
         self._iter = 0
 
     def num_batches_per_epoch(self) -> int:
-        """Approximate epoch length: free-relation batches dominate.
+        """Epoch length: EXACT for the balanced schedule, approximate
+        for the reference schedule (whose free-pool draining depends on
+        the random interleave).
 
         Relations with 0 < n < batch_size emit one wrap-padded batch per
         epoch (see ``_next``), so they count as 1 here."""
+        if self.schedule == "balanced":
+            return sum(
+                max(n // self.batch_size, 1 if n else 0)
+                for n in (
+                    self.train_edges[key].shape[0] for key in self.keys
+                )
+            )
         free = sum(
             max(n // self.batch_size, 1 if n else 0)
             for n in (

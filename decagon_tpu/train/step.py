@@ -54,6 +54,23 @@ class TrainConfig:
     # Iteration hooks then observe post-chunk params; pick a chunk that
     # divides the log/checkpoint cadence when that matters.
     scan_chunk: int = 0
+    # Minibatch schedule: "reference" = the reference's iter%4 cycle
+    # (fixed edge types re-fed alongside EVERY free drug-drug batch —
+    # at paper scale 75% of steps re-train the same 3 relations ~30x per
+    # epoch, measured in artifacts/perf/epoch_profile.json); "balanced"
+    # = every relation's batches exactly once per epoch, randomly
+    # interleaved (~3.4x fewer steps over the same training edges).
+    schedule: str = "reference"
+    # >1: score this many relation-batches per optimization step against
+    # ONE shared encoder forward (make_grouped_chunked_train_step).  The
+    # full-graph encoder fwd+bwd dominates step cost and is independent
+    # of batch size, so grouping G batches cuts step count ~Gx at equal
+    # edge visits; the G losses sum into one Adam update (Adam is
+    # invariant to the gradient's scale, but the step count per epoch
+    # drops — validated on the mid-scale config in
+    # artifacts/quality/schedule_ablation.json).  Requires scan_chunk>0;
+    # single-chip only.
+    relation_group: int = 1
     # TF1 parity knob: the reference's Adam applies SPARSE (lazy) moment
     # updates to decoder rows reached through tf.gather — rows of
     # relations not trained this step keep their momentum instead of
@@ -298,6 +315,100 @@ def make_chunked_train_step(
     return chunk
 
 
+def make_grouped_chunked_train_step(
+    model: DecagonModel,
+    graph: DeviceGraph,
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    """Chunked training with ``G = cfg.relation_group`` relation-batches
+    per optimization step sharing ONE encoder forward.
+
+    The full-graph encoder fwd+bwd is ~80% of step cost at paper scale
+    and independent of the 512-edge batch (``artifacts/perf/
+    fullscale_step_profile.json``), so scoring G batches per forward cuts
+    the per-epoch step count ~Gx at identical edge visits.  The G hinge/
+    xent losses (sums, reference ``optimizer.py:116-120``) add into one
+    scalar; one Adam update per group.  Per-sub-batch RNG:
+    ``fold_in(sample_rng, g)`` — distinct negative draws per sub-batch.
+
+    Returns ``chunk(params, opt_state, graph, base_rng, branch[C,G],
+    k[C,G], rows[C,G,B], cols[C,G,B], step_no[C], valid[C,G]) ->
+    (params, opt_state, losses[C])`` where ``losses[c]`` is the summed
+    loss of slot ``c``'s valid sub-batches (NaN for all-padding slots).
+    """
+    edge_types = list(graph.edge_types)
+
+    def slot_loss(params, graph, branch, k, rows, cols, valid, rng):
+        enc_rng, sample_rng = jax.random.split(rng)
+        # ONE shared forward: grouped slots mix edge types, so per-branch
+        # dead-code elimination would buy nothing here.
+        embeddings = model.embeddings(
+            params, graph, enc_rng, deterministic=False
+        )
+        g_count = branch.shape[0]
+        total = jnp.float32(0.0)
+        for g in range(g_count):
+            srng = jax.random.fold_in(sample_rng, g)
+
+            def make_branch(et, g=g, srng=srng):
+                et_key = etkey(et)
+
+                def scoring(_):
+                    pos = model.score_edges(
+                        params, graph, embeddings, et, k[g], rows[g], cols[g]
+                    )
+                    ns = max(1, cfg.neg_sample_size)
+                    neg_rows = sample_unigram(
+                        srng, graph.neg_cdf[et_key][k[g]],
+                        cfg.batch_size * ns,
+                    )
+                    neg_cols = (
+                        jnp.tile(cols[g], ns) if ns > 1 else cols[g]
+                    )
+                    neg = model.score_edges(
+                        params, graph, embeddings, et, k[g], neg_rows,
+                        neg_cols,
+                    )
+                    if cfg.loss == "hinge":
+                        pos_t = jnp.tile(pos, ns) if ns > 1 else pos
+                        return LOSSES["hinge"](pos_t, neg, cfg.margin)
+                    return LOSSES["xent"](pos, neg, cfg.neg_sample_weight)
+
+                return scoring
+
+            sub = jax.lax.switch(
+                branch[g], [make_branch(et) for et in edge_types], None
+            )
+            total = total + jnp.where(valid[g], sub, 0.0)
+        return total
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def chunk(params, opt_state, graph, base_rng, branch, k, rows, cols,
+              step_no, valid):
+        def body(carry, xs):
+            params, opt_state = carry
+            b, kk, r, c, sn, v = xs
+            rng = jax.random.fold_in(base_rng, sn)
+            loss, grads = jax.value_and_grad(slot_loss)(
+                params, graph, b, kk, r, c, v, rng
+            )
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            any_v = jnp.any(v)
+            keep = lambda n, o: jnp.where(any_v, n, o)
+            params = jax.tree_util.tree_map(keep, new_params, params)
+            opt_state = jax.tree_util.tree_map(keep, new_opt, opt_state)
+            return (params, opt_state), jnp.where(any_v, loss, jnp.nan)
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (branch, k, rows, cols, step_no, valid)
+        )
+        return params, opt_state, losses
+
+    return chunk
+
+
 def make_eval_scores(
     model: DecagonModel, edge_type: EdgeType
 ) -> Callable:
@@ -362,24 +473,41 @@ def make_emb_scores(model: DecagonModel, edge_type: EdgeType) -> Callable:
     row_t, col_t = str(edge_type[0]), str(edge_type[1])
     gm = model.graph_meta
     impl = getattr(model.config, "sddmm_impl", "jnp")
-    # "auto" resolves to the jnp path EVERYWHERE: compiled-mode Mosaic
-    # rejects the kernel's gather ("Not implemented: Multiple source
-    # vregs along gather dimension" — tpu.dynamic_gather only handles
-    # tables within one vreg along the gather dim, measured on v5e; see
-    # artifacts/perf/sddmm_profile.json), and a one-hot-matmul rewrite
-    # costs ~2*t*H flops per gathered row — orders of magnitude more
-    # than XLA's native gather at eval scale.  Explicit "pallas" remains
-    # for interpret-mode verification and future Mosaic gather support.
-    use_pallas = (
-        impl == "pallas"
-        and sp.supports(
-            name,
-            gm.num_nodes[edge_type[0]],
-            gm.num_nodes[edge_type[1]],
-            gm.num_relations(edge_type),
-            model.config.hidden2,
-        )
+    kernel_fits = sp.supports(
+        name,
+        gm.num_nodes[edge_type[0]],
+        gm.num_nodes[edge_type[1]],
+        gm.num_relations(edge_type),
+        model.config.hidden2,
     )
+    on_tpu = jax.default_backend() == "tpu"
+    # "auto": the compiled Pallas one-hot-matmul kernel on TPU wherever
+    # the tables fit VMEM (round 4: the gather is an MXU one-hot matmul,
+    # so the round-3 Mosaic dynamic_gather limitation no longer applies;
+    # measured faster than the XLA gather path at eval scale —
+    # artifacts/perf/sddmm_profile.json), jnp elsewhere.
+    if impl == "pallas" and not on_tpu:
+        # A config typo must not silently cost 1000x eval time: the
+        # compiled kernel is TPU-only; interpret mode is opt-in via
+        # "pallas_interpret" (VERDICT r3 item 7).
+        raise ValueError(
+            "sddmm_impl='pallas' requires a TPU backend (got "
+            f"{jax.default_backend()!r}); use 'pallas_interpret' for "
+            "interpret-mode verification or 'jnp'/'auto'"
+        )
+    if impl == "pallas" and not kernel_fits:
+        raise ValueError(
+            f"sddmm_impl='pallas': decoder {name!r} with tables "
+            f"({gm.num_nodes[edge_type[0]]}x{gm.num_nodes[edge_type[1]]} "
+            f"nodes, {gm.num_relations(edge_type)} relations) exceeds "
+            "the kernel's VMEM bound; use 'jnp' or 'auto'"
+        )
+    use_pallas = kernel_fits and (
+        impl in ("pallas", "pallas_interpret")
+        or (impl == "auto" and on_tpu)
+    )
+    interpret = impl == "pallas_interpret"
+    precision = getattr(model.config, "sddmm_precision", "highest")
 
     @jax.jit
     def scores(params, embeddings, ks, rows, cols):
@@ -390,10 +518,8 @@ def make_emb_scores(model: DecagonModel, edge_type: EdgeType) -> Callable:
                 name=name,
                 glb=dp.get("global"),
                 rel_diag=dp.get("local_diag", dp.get("relation_diag")),
-                # Interpret everywhere: compiled Mosaic rejects the
-                # kernel's gather (see the "auto" note above), so the
-                # explicit-pallas path is a verification mode.
-                interpret=True,
+                interpret=interpret,
+                precision=precision,
             )
             return jax.nn.sigmoid(logits)
 

@@ -68,8 +68,17 @@ class Trainer:
         self.config = config
         self.mesh = mesh
         self.scheduler = MinibatchScheduler(
-            graph, splits, batch_size=config.batch_size, seed=seed
+            graph, splits, batch_size=config.batch_size, seed=seed,
+            schedule=getattr(config, "schedule", "reference"),
         )
+        self.group = max(1, getattr(config, "relation_group", 1))
+        if self.group > 1 and mesh is not None:
+            raise ValueError(
+                "relation_group > 1 is single-chip only (the sharded "
+                "chunked step does not implement grouped scoring yet)"
+            )
+        if self.group > 1 and config.scan_chunk <= 0:
+            raise ValueError("relation_group > 1 requires scan_chunk > 0")
         if mesh is not None:
             from decagon_tpu.parallel.rowshard import (
                 ShardedGraph,
@@ -252,6 +261,15 @@ class Trainer:
                     self.device_graph,
                     shard_weights=self.shard_weights,
                 )
+            elif self.group > 1:
+                from decagon_tpu.train.step import (
+                    make_grouped_chunked_train_step,
+                )
+
+                self._chunk_fn = make_grouped_chunked_train_step(
+                    self.model, self.device_graph, self.config,
+                    self.optimizer,
+                )
             else:
                 from decagon_tpu.train.step import make_chunked_train_step
 
@@ -260,8 +278,36 @@ class Trainer:
                     self.optimizer,
                 )
         n = len(batches)
-        assert 0 < n <= chunk_size
+        g = self.group
+        assert 0 < n <= chunk_size * g
         b = self.config.batch_size
+        if g > 1:
+            # Grouped slots: G relation-batches per optimization step,
+            # one shared encoder forward per slot.  Slot RNG indices
+            # count optimization steps (global_step counts batches).
+            branch = np.zeros((chunk_size, g), np.int32)
+            ks = np.zeros((chunk_size, g), np.int32)
+            rows = np.zeros((chunk_size, g, b), np.int32)
+            cols = np.zeros((chunk_size, g, b), np.int32)
+            step_no = np.zeros(chunk_size, np.int32)
+            valid = np.zeros((chunk_size, g), bool)
+            slot0 = self.global_step // g
+            for j, batch in enumerate(batches):
+                s, gg = divmod(j, g)
+                branch[s, gg] = self._branch_idx[batch.edge_type]
+                ks[s, gg] = batch.k
+                rows[s, gg] = batch.rows
+                cols[s, gg] = batch.cols
+                valid[s, gg] = True
+            step_no[:] = slot0 + np.arange(chunk_size)
+            self.params, self.opt_state, losses = self._chunk_fn(
+                self.params, self.opt_state, self.device_graph,
+                self.step_rng, jnp.asarray(branch), jnp.asarray(ks),
+                jnp.asarray(rows), jnp.asarray(cols),
+                jnp.asarray(step_no), jnp.asarray(valid),
+            )
+            self.global_step += n
+            return losses[: -(-n // g)]
         branch = np.zeros(chunk_size, np.int32)
         ks = np.zeros(chunk_size, np.int32)
         rows = np.zeros((chunk_size, b), np.int32)
@@ -285,9 +331,10 @@ class Trainer:
 
     def _train_epoch_scanned(self, epoch: int, chunk_size: int) -> None:
         batches = list(self.scheduler.epoch())
+        per_call = chunk_size * self.group
         iteration = 0
-        for i in range(0, len(batches), chunk_size):
-            group = batches[i : i + chunk_size]
+        for i in range(0, len(batches), per_call):
+            group = batches[i : i + per_call]
             start = time.perf_counter()
             losses = self.train_chunk(group, chunk_size)
             if self.iteration_hook is not None:
@@ -295,6 +342,24 @@ class Trainer:
                 # nobody listens so chunk dispatches pipeline on device.
                 losses = np.asarray(losses)
                 latency = (time.perf_counter() - start) / len(group)
+                if self.group > 1:
+                    # Grouped mode: one loss per optimization step (slot
+                    # of G batches); report it against the slot's first
+                    # batch's edge type.
+                    for s, loss in enumerate(losses):
+                        batch = group[s * self.group]
+                        self.iteration_hook(
+                            self,
+                            IterationResult(
+                                epoch=epoch,
+                                iteration=iteration,
+                                loss=float(loss),
+                                latency=latency * self.group,
+                                edge_type=(*batch.edge_type, batch.k),
+                            ),
+                        )
+                        iteration += 1
+                    continue
                 for batch, loss in zip(group, losses):
                     self.iteration_hook(
                         self,

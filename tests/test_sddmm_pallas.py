@@ -67,6 +67,26 @@ def test_sddmm_pallas_chunked_shape_and_rect():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("name", ["distmult", "dedicom"])
+def test_sddmm_pallas_bf16_close(name):
+    """precision='default' (bf16 MXU passes) stays within bf16 error."""
+    z, diag, glb, ks, rows, cols = _world()
+    got = sddmm_pallas_edges(
+        z, z, ks, rows, cols, name=name, glb=glb, rel_diag=diag,
+        interpret=True, precision="default",
+    )
+    want = _reference(name, z, diag, glb, ks, rows, cols)
+    # bf16 mantissa error scales with the bilinear chain's intermediate
+    # magnitudes, so tolerance is absolute in units of the score scale
+    # (2% of max|score|), not relative per element: rank-order fidelity
+    # is what "default" precision promises.
+    want_np = np.asarray(want)
+    np.testing.assert_allclose(
+        np.asarray(got), want_np,
+        rtol=5e-2, atol=0.02 * float(np.abs(want_np).max()),
+    )
+
+
 def test_supports_gate():
     assert supports("dedicom", 645, 645, 1926, 32)
     assert not supports("bilinear", 645, 645, 1926, 32)
@@ -74,9 +94,33 @@ def test_supports_gate():
     assert not supports("dedicom", 645, 645, 1926, 256)  # dim > lane tile
 
 
+def test_sddmm_pallas_requires_tpu():
+    """sddmm_impl='pallas' (compiled) must raise off-TPU instead of
+    silently running interpret mode (VERDICT r3 item 7)."""
+    import jax
+    import pytest as _pytest
+
+    from decagon_tpu.graph.device import build_device_graph
+    from decagon_tpu.graph.split import split_graph
+    from decagon_tpu.graph.synthetic import make_synthetic_graph
+    from decagon_tpu.models.model import DecagonModel, ModelConfig
+    from decagon_tpu.train.step import make_emb_scores
+
+    if jax.default_backend() == "tpu":
+        _pytest.skip("compiled pallas is legal on TPU")
+    graph = make_synthetic_graph(
+        n_genes=60, n_drugs=40, n_drugdrug_types=2, seed=0
+    )
+    splits = split_graph(graph, val_frac=0.15, test_frac=0.0, seed=3)
+    dg = build_device_graph(graph, splits, edge_pad_multiple=256)
+    model = DecagonModel(ModelConfig(sddmm_impl="pallas"), dg)
+    with _pytest.raises(ValueError, match="requires a TPU backend"):
+        make_emb_scores(model, (1, 1))
+
+
 def test_evaluator_pallas_sddmm_matches_jnp():
-    """AccuracyEvaluator with sddmm_impl='pallas' (interpreted on the CPU
-    mesh) reproduces the jnp path's pooled metrics end to end."""
+    """AccuracyEvaluator with sddmm_impl='pallas_interpret' (CPU mesh)
+    reproduces the jnp path's pooled metrics end to end."""
     from decagon_tpu.graph.device import build_device_graph
     from decagon_tpu.graph.split import split_graph
     from decagon_tpu.graph.synthetic import make_synthetic_graph
@@ -90,15 +134,15 @@ def test_evaluator_pallas_sddmm_matches_jnp():
     dg = build_device_graph(graph, splits, edge_pad_multiple=256)
     params = None
     scores = {}
-    for impl in ("jnp", "pallas"):
+    for impl in ("jnp", "pallas_interpret"):
         model = DecagonModel(ModelConfig(sddmm_impl=impl), dg)
         if params is None:
             params = model.init_params(jax.random.PRNGKey(0), dg)
         ev = AccuracyEvaluator(model, graph, splits, score_chunk=1024)
         scores[impl] = ev.evaluate_all_drug_drug(params, dg)
-    assert scores["pallas"].auroc == pytest.approx(
+    assert scores["pallas_interpret"].auroc == pytest.approx(
         scores["jnp"].auroc, abs=1e-6
     )
-    assert scores["pallas"].auprc == pytest.approx(
+    assert scores["pallas_interpret"].auprc == pytest.approx(
         scores["jnp"].auprc, abs=1e-6
     )
