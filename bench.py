@@ -162,6 +162,7 @@ def bench_fullscale() -> dict:
         dense_dtype=jnp.bfloat16,
         tile_even_if_dense=on_accel,
         build_fused=False,  # the fused stream isn't used at this scale
+        dense_factored=on_accel,  # int8 mask + rank-1 scales (r4)
     )
     build_s = time.perf_counter() - build_t0
     _progress(f"full-scale device graph built ({build_s:.0f}s); compiling dense trainer")
@@ -176,12 +177,12 @@ def bench_fullscale() -> dict:
     out = {"host_build_s": round(build_s, 1), "dense_stacks_gb": round(dense_gb, 2)}
 
     model_dense = DecagonModel(
-        ModelConfig(hidden1=64, hidden2=32, dropout=0.1, spmm_impl="auto"),
+        ModelConfig(hidden1=64, hidden2=32, dropout=0.1, spmm_impl="dense"),
         device_graph,
     )
     trainer = Trainer(model_dense, graph, splits, device_graph, cfg, seed=0)
     t_dense = _steady_state_ms(trainer, 20, windows=5)
-    _progress("dense timed; compiling pallas trainer")
+    _progress("dense timed")
     dense = _config_metrics(nnz, t_dense)
     # Memory-bound roofline: the dense stacks are read once per SpMM
     # application (4 per step: 2 layers x fwd+bwd).
@@ -189,6 +190,43 @@ def bench_fullscale() -> dict:
         4 * dense_gb / (t_dense["min_ms"] / 1e3) / HBM_PEAK_GBPS, 3
     )
     out["full_dense_bf16"] = dense
+
+    if on_accel and any(
+        a.dense_mask is not None for a in device_graph.adj.values()
+    ):
+        # int8 factored stacks (round 4): the rank-1 normalization
+        # factorization halves the dominant stack read (1 B/cell); this
+        # is what "auto" dispatches to in production.
+        _progress("compiling factored trainer")
+        mask_gb = sum(
+            a.dense_mask.size
+            for a in device_graph.adj.values()
+            if a.dense_mask is not None
+        ) / 2**30
+        model_fact = DecagonModel(
+            ModelConfig(
+                hidden1=64, hidden2=32, dropout=0.1,
+                spmm_impl="dense_factored",
+            ),
+            device_graph,
+        )
+        trainer_f = Trainer(
+            model_fact, graph, splits, device_graph, cfg, seed=0,
+            init_state=jax.tree.map(jnp.copy, trainer.state_dict()),
+        )
+        t_fact = _steady_state_ms(trainer_f, 20, windows=5)
+        fact = _config_metrics(nnz, t_fact)
+        fact["mask_stacks_gb"] = round(mask_gb, 2)
+        # 4 int8 stack passes/step (fwd mask x2 layers, bwd mask_t x2)
+        # + the [K, N, H] bf16 intermediates (written + read once each).
+        fact["hbm_util"] = round(
+            4 * mask_gb / (t_fact["min_ms"] / 1e3) / HBM_PEAK_GBPS, 3
+        )
+        fact["vs_dense"] = round(t_fact["min_ms"] / t_dense["min_ms"], 2)
+        out["full_factored_int8"] = fact
+        _progress("factored timed; compiling pallas trainer")
+    else:
+        _progress("compiling pallas trainer")
 
     if on_accel:
         from decagon_tpu.ops.tiling import tiling_stats
@@ -265,7 +303,36 @@ def main() -> None:
     full = bench_fullscale()
     _progress("full-scale done")
 
-    headline = full["full_dense_bf16"]
+    # Headline = the production dispatch: the int8 factored stack when
+    # built (what "auto" resolves to on TPU), else the bf16 dense stack.
+    headline = full.get("full_factored_int8") or full["full_dense_bf16"]
+    if "full_factored_int8" in full and (
+        full["full_factored_int8"]["ms_per_step_min"]
+        > full["full_dense_bf16"]["ms_per_step_min"]
+    ):
+        headline = full["full_dense_bf16"]
+    # Companion artifact: the dense-INFEASIBLE regime (stacks >> HBM)
+    # where the Pallas kernel competes with XLA segment-sum — produced
+    # by scripts/bench_sparse_regime.py on the same chip.
+    sparse_ref = None
+    try:
+        import os as _o
+
+        with open(
+            _o.path.join(
+                _o.path.dirname(_o.path.abspath(__file__)),
+                "artifacts", "perf", "sparse_regime_bench.json",
+            )
+        ) as f:
+            _sr = json.load(f)
+        sparse_ref = {
+            "source": "artifacts/perf/sparse_regime_bench.json "
+                      "(scripts/bench_sparse_regime.py)",
+            **{k: _sr[k] for k in ("workload", "xla", "pallas_bf16",
+                                   "pallas_vs_xla") if k in _sr},
+        }
+    except Exception:
+        pass
     # vs_baseline is LIKE-FOR-LIKE: our toy-config ms/step against the
     # reference's published ~5.5 ms/iter on the SAME dummy workload
     # (decagon_iteration_results_0.csv Latency; the only latency the
@@ -285,16 +352,20 @@ def main() -> None:
                 "configs": {
                     "toy_dense": toy,
                     **full,
+                    **({"sparse_regime_ref": sparse_ref} if sparse_ref else {}),
                 },
                 "note": (
                     "headline = 963-relation/19081-protein/12.1M-edge "
-                    "polypharmacy-scale train step (fwd+bwd+Adam), bf16 "
-                    "dense-stack dispatch; hbm_roofline_fraction = stack "
-                    "bytes x 4 passes / step time vs 819 GB/s; full_pallas_* "
-                    "= same workload through the tiled Pallas kernel (the "
-                    "path when stacks exceed HBM); vs_baseline = reference "
-                    "5.5 ms/iter over our ms/step on the SAME toy workload "
-                    "(like-for-like)"
+                    "polypharmacy-scale train step (fwd+bwd+Adam) through "
+                    "the production dispatch (int8 factored stacks when "
+                    "built, else bf16 dense); hbm_roofline_fraction = "
+                    "stack bytes x 4 passes / step time vs 819 GB/s; "
+                    "full_pallas_* = same workload through the tiled "
+                    "Pallas kernel; sparse_regime_ref = the "
+                    "dense-INFEASIBLE config (stacks >> HBM) where the "
+                    "kernel competes with XLA segment-sum; vs_baseline = "
+                    "reference 5.5 ms/iter over our ms/step on the SAME "
+                    "toy workload (like-for-like)"
                 ),
             }
         )

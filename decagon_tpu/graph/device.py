@@ -93,6 +93,18 @@ class EdgeTypeAdj:
     num_rel: int = dataclasses.field(metadata=dict(static=True))
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
+    # Optional FACTORED dense form (``build_device_graph(...,
+    # dense_factored=True)``): the degree normalization is rank-1 per
+    # relation (``normalize.py``: val[i,j] = a_k[i] * b_k[j]``), so the
+    # stack factors into an int8 edge-count mask plus two scale vectors
+    # — 1 byte/cell instead of 2, halving the HBM traffic of the
+    # memory-bound dense SpMM (``ops.segment.spmm_dense_factored``).
+    # ``dense_mask_t`` is the [K, n_cols, n_rows] transpose for the
+    # backward pass (MXU-friendly layout; no runtime transposes).
+    dense_mask: Optional[jax.Array] = None
+    dense_mask_t: Optional[jax.Array] = None
+    row_scale: Optional[jax.Array] = None  # f32 [K, n_rows]
+    col_scale: Optional[jax.Array] = None  # f32 [K, n_cols]
 
     @property
     def num_edges_padded(self) -> int:
@@ -179,6 +191,7 @@ def build_device_graph(
     dense_dtype=np.float32,
     tile_even_if_dense: bool = False,
     build_fused: bool = True,
+    dense_factored: bool = False,
 ) -> DeviceGraph:
     """Flatten normalized train adjacencies and sampling CDFs onto device.
 
@@ -256,6 +269,60 @@ def build_device_graph(
                 dense = jnp.asarray(dense_np)
                 del dense_np
 
+        dense_mask = dense_mask_t = row_scale_dev = col_scale_dev = None
+        if dense_factored and len(rels) * n_i * n_j <= densify_max_cells:
+            # Recover the rank-1 normalization factors per relation
+            # (normalize.py: square rule uses ONE degree vector indexed
+            # by the output-column side; rect uses row/col degrees) and
+            # verify them against the stored values — any mismatch
+            # (degenerate normalization) disables the factored form for
+            # this edge type.
+            row_scale_np = np.zeros((len(rels), n_i), np.float32)
+            col_scale_np = np.zeros((len(rels), n_j), np.float32)
+            ok = True
+            def _dinv(counts):
+                with np.errstate(divide="ignore"):
+                    v = np.power(counts.astype(np.float64), -0.5)
+                v[~np.isfinite(v)] = 0.0
+                return v
+
+            for k in range(len(rels)):
+                split = splits[(i, j, k)]
+                r_k, c_k, v_k = split.adj_rows, split.adj_cols, split.adj_vals
+                dr = _dinv(np.bincount(r_k, minlength=n_i))
+                dc = _dinv(np.bincount(c_k, minlength=n_j))
+                # Candidate factor pairs: the square rule keys ONE degree
+                # vector off the a_rows side — which lands on the OUTPUT
+                # cols for a direct relation and the output rows for its
+                # transpose (normalize_square's (A+I)^T flip); the rect
+                # rule uses both sides.  Accept whichever verifies.
+                candidates = [(dr, dc)]
+                if n_i == n_j:
+                    candidates = [(dc, dc), (dr, dr), (dr, dc)]
+                for a_vec, b_vec in candidates:
+                    if np.allclose(
+                        v_k, (a_vec[r_k] * b_vec[c_k]).astype(np.float32),
+                        rtol=1e-5, atol=1e-7,
+                    ):
+                        row_scale_np[k] = a_vec
+                        col_scale_np[k] = b_vec
+                        break
+                else:
+                    ok = False
+                    break
+            if ok:
+                ones = (vals_dev != 0).astype(jnp.int8)
+                dense_mask = (
+                    jnp.zeros((len(rels), n_i, n_j), jnp.int8)
+                    .at[rel_dev, receivers_dev, senders_dev].add(ones)
+                )
+                dense_mask_t = (
+                    jnp.zeros((len(rels), n_j, n_i), jnp.int8)
+                    .at[rel_dev, senders_dev, receivers_dev].add(ones)
+                )
+                row_scale_dev = jnp.asarray(row_scale_np)
+                col_scale_dev = jnp.asarray(col_scale_np)
+
         tiles_fwd = tiles_bwd = None
         if tile_for_pallas and (dense is None or tile_even_if_dense):
             any_tiled = True
@@ -288,6 +355,10 @@ def build_device_graph(
             num_rel=len(rels),
             n_rows=graph.num_nodes[i],
             n_cols=graph.num_nodes[j],
+            dense_mask=dense_mask,
+            dense_mask_t=dense_mask_t,
+            row_scale=row_scale_dev,
+            col_scale=col_scale_dev,
         )
 
         # Negative-sampling CDFs: relation (i,j,k) draws row-type-i nodes

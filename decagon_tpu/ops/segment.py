@@ -62,6 +62,66 @@ def spmm_dense(p_stack: jax.Array, dense_adj: jax.Array) -> jax.Array:
     )
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def spmm_dense_factored(
+    p_stack: jax.Array,
+    mask: jax.Array,
+    mask_t: jax.Array,
+    row_scale: jax.Array,
+    col_scale: jax.Array,
+) -> jax.Array:
+    """``sum_k diag(a_k) B_k diag(b_k) P_k`` with an int8 mask stack.
+
+    The degree normalization is rank-1 per relation (``graph/
+    normalize.py``: every value is ``a_k[i] * b_k[j]``), so the dense
+    stack factors into an int8 edge-count mask ``B`` (1 byte/cell — half
+    the bf16 stack's HBM traffic, which bounds this op at paper scale)
+    plus two f32 scale vectors.  Forward: scale columns into the
+    projected features (cheap), one batched int8->bf16 MXU matmul to
+    ``[K, N_i, H]``, then the row-scaled reduction over relations.  The
+    backward reads the PRE-TRANSPOSED ``mask_t`` — no runtime transpose
+    of a multi-GB stack.  fp32 accumulation throughout; the bf16
+    rounding matches the bf16 dense stack path's.
+    """
+    return _factored_fwd_math(p_stack, mask, row_scale, col_scale)
+
+
+def _factored_fwd_math(p_stack, mask, row_scale, col_scale):
+    pb = (p_stack * col_scale[:, :, None]).astype(jnp.bfloat16)
+    kih = jax.lax.dot_general(
+        mask.astype(jnp.bfloat16), pb,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [K, N_i, H]
+    return jnp.einsum(
+        "ki,kih->ih", row_scale, kih, preferred_element_type=jnp.float32
+    )
+
+
+def _factored_fwd(p_stack, mask, mask_t, row_scale, col_scale):
+    out = _factored_fwd_math(p_stack, mask, row_scale, col_scale)
+    return out, (mask_t, row_scale, col_scale)
+
+
+def _factored_bwd(res, ct):
+    mask_t, row_scale, col_scale = res
+    # d p_stack[k,j,h] = b_k[j] * sum_i B_k[j,i]^T a_k[i] ct[i,h]
+    cta = (row_scale[:, :, None] * ct[None, :, :]).astype(jnp.bfloat16)
+    kjh = jax.lax.dot_general(
+        mask_t.astype(jnp.bfloat16), cta,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [K, N_j, H]
+    dp = kjh * col_scale[:, :, None]
+    return (dp, None, None, None, None)
+
+
+spmm_dense_factored.defvjp(_factored_fwd, _factored_bwd)
+
+
 def spmm(
     p_stack: jax.Array,
     adj: "EdgeTypeAdj",
@@ -69,6 +129,16 @@ def spmm(
     precision: str = "highest",
 ) -> jax.Array:
     """Aggregate ``sum_k A_k @ P_k`` for one edge type."""
+    if impl == "dense_factored":
+        if adj.dense_mask is None:
+            raise ValueError(
+                "adjacency has no factored dense form; build the device "
+                "graph with dense_factored=True"
+            )
+        return spmm_dense_factored(
+            p_stack, adj.dense_mask, adj.dense_mask_t,
+            adj.row_scale, adj.col_scale,
+        )
     if impl == "dense":
         if adj.dense is None:
             raise ValueError(

@@ -99,11 +99,18 @@ def _spmm_kernel(
         src_local = jax.lax.bitwise_and(both, 0xFFFF)
         dst_local = jax.lax.shift_right_logical(both, 16)
         vals = pltpu.bitcast(tile_buf[slot, 1:2, :], jnp.float32)  # [1, C]
+        # bf16 source windows (PALLAS_NOTE lever 3): when p_hbm is bf16
+        # the window DMA — the kernel's dominant HBM traffic — halves;
+        # the one-hot carries the (bf16-rounded) edge values so the MXU
+        # runs a native single-pass bf16 matmul with fp32 accumulation.
+        vals = vals.astype(src_buf.dtype)
 
         # One-hot gather matrix [S, C]: column c holds vals[c] at row
         # src_local[c].  Lane-aligned broadcasts only (no relayouts).
         iota_sc = jax.lax.broadcasted_iota(jnp.int32, (s, c), 0)
-        src_oh = jnp.where(iota_sc == src_local, vals, 0.0)
+        src_oh = jnp.where(
+            iota_sc == src_local, vals, jnp.zeros((), src_buf.dtype)
+        )
         msgs = jax.lax.dot_general(
             src_oh,
             src_buf[slot],
@@ -141,6 +148,16 @@ def spmm_tiled(
     pad_rows = max(0, tiles.n_src - m)
     if pad_rows or h != h_in:
         p_flat = jnp.pad(p_flat, ((0, pad_rows), (0, h - h_in)))
+    # bf16 source windows (PALLAS_NOTE lever 3): at DEFAULT precision
+    # the source table lives in HBM as bf16, halving the per-tile window
+    # DMA that dominates the kernel's HBM traffic; accumulation and the
+    # output stay fp32.
+    src_dtype = (
+        jnp.bfloat16
+        if precision == jax.lax.Precision.DEFAULT
+        else jnp.float32
+    )
+    p_flat = p_flat.astype(src_dtype)
     c = tiles.tile_c
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -156,7 +173,7 @@ def spmm_tiled(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 2, c), jnp.int32),
-            pltpu.VMEM((2, tiles.block_s, h), jnp.float32),
+            pltpu.VMEM((2, tiles.block_s, h), src_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -170,7 +187,8 @@ def spmm_tiled(
         out_shape=jax.ShapeDtypeStruct((tiles.n_dst, h), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=tiles.num_tiles * (tiles.block_s * h * 4 + 8 * c)
+            bytes_accessed=tiles.num_tiles
+            * (tiles.block_s * h * p_flat.dtype.itemsize + 8 * c)
             + tiles.n_dst * h * 4,
             transcendentals=0,
         ),

@@ -76,7 +76,16 @@ def gather_rows(
     Making this explicit keeps gradients exact for weight-sharded
     parameters without relying on the ambient collective-transpose
     rules (``check_vma=False`` shard_maps do not track which arrays are
-    device-varying)."""
+    device-varying).
+
+    The backward is a REDUCE-SCATTER over the row axis (each device
+    keeps only its own summed block: ~N bytes/device on the cross-host
+    axis, vs ~2N for the full-table all-reduce it replaces) followed by
+    a psum of the already-scattered block over the edge axis (its
+    payload shrinks by the row-axis size) — the transpose of the tiled
+    all_gather, as the forward/backward symmetry demands."""
+
+    other_axes = tuple(a for a in axes if a != row_axis)
 
     @jax.custom_vjp
     def gather(x):
@@ -87,12 +96,15 @@ def gather_rows(
         return gather(x), None
 
     def bwd(_, ct):
-        total = jax.lax.psum(ct, axes)
-        r = jax.lax.axis_index(row_axis)
         padded = jax.numpy.zeros(
             (n_row_devices * n_block,) + ct.shape[1:], ct.dtype
-        ).at[:n_rows].set(total)
-        return (jax.lax.dynamic_slice_in_dim(padded, r * n_block, n_block, 0),)
+        ).at[:n_rows].set(ct)
+        block = jax.lax.psum_scatter(
+            padded, row_axis, scatter_dimension=0, tiled=True
+        )
+        if other_axes:
+            block = jax.lax.psum(block, other_axes)
+        return (block,)
 
     gather.defvjp(fwd, bwd)
     return gather

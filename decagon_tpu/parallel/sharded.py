@@ -374,7 +374,11 @@ def make_sharded_train_step(
     )
     p_specs = make_param_pspecs(graph_template, axes) if sharded_keys else P()
     row_dtype = (
-        jnp.bfloat16 if cfg.grad_reduce_dtype in ("bfloat16", "bf16")
+        jnp.bfloat16
+        if cfg.grad_reduce_dtype in ("bfloat16", "bf16")
+        # A single-device row axis has zero cross-host traffic to save;
+        # don't round its gradients (ADVICE r3).
+        and mesh.shape[axes[0]] > 1
         else None
     )
     mc = model.config
@@ -467,9 +471,12 @@ def make_sharded_chunked_train_step(
     ``fused_adam``-shaped optimizer state (``{"m", "v", "t"}``).
 
     The whole chunk (scan + optimizer updates) runs INSIDE ``shard_map``:
-    params/opt_state are replicated (every device computes the identical
-    update from the psum'd gradients), the graph stays sharded, and the
-    per-step batch is data-parallel over all devices.  Per-step math and
+    the graph stays sharded and the per-step batch is data-parallel over
+    all devices.  Replicated leaves (decoder, non-dense enc stacks) see
+    identical updates on every device from the both-axes gradient psum;
+    with ``shard_weights`` the dense enc stacks and their Adam moments
+    stay relation-sharded over the edge axis (``p_specs``/``opt_specs``)
+    and their gradients psum over the ROW axis only.  Per-step math and
     the RNG stream (``fold_in(base_rng, step_no)``) are identical to
     ``make_sharded_train_step``, so loss traces match step-for-step.
 
@@ -501,7 +508,11 @@ def make_sharded_chunked_train_step(
         p_specs = P()
         opt_specs = P()
     row_dtype = (
-        jnp.bfloat16 if cfg.grad_reduce_dtype in ("bfloat16", "bf16")
+        jnp.bfloat16
+        if cfg.grad_reduce_dtype in ("bfloat16", "bf16")
+        # A single-device row axis has zero cross-host traffic to save;
+        # don't round its gradients (ADVICE r3).
+        and mesh.shape[axes[0]] > 1
         else None
     )
     mc = model.config

@@ -97,9 +97,17 @@ class Trainer:
                 self.device_graph = build_sharded_device_graph(
                     graph, splits, mesh
                 )
+            # Weight sharding needs encode_sharded's dense relation-block
+            # path: a non-dense spmm_impl would raise at trace time
+            # inside the sharded step, so auto-disable with the other
+            # gates (ADVICE r3).
+            dense_spmm = getattr(model.config, "spmm_impl", "auto") in (
+                "auto", "dense",
+            )
             self.shard_weights = bool(
                 config.shard_weights
                 and not config.lazy_decoder_adam
+                and dense_spmm
                 and shardable_weight_keys(self.device_graph)
             )
             self.optimizer = make_optimizer(config)
@@ -203,16 +211,60 @@ class Trainer:
     # ---- checkpoint state ---------------------------------------------
 
     def state_dict(self) -> Dict:
-        """Checkpointable training state (params + optimizer + step)."""
+        """Checkpointable training state (params + optimizer + step).
+
+        Topology-independent: with ``shard_weights`` the live state holds
+        relation stacks padded to ``k_loc * n_edge_shards`` and sharded
+        over the edge axis — here they are UNPADDED back to ``num_rel``
+        so checkpoints restore into any mesh shape (or the single-chip
+        trainer); ``load_state_dict`` re-pads and re-shards."""
+        params, opt_state = self.params, self.opt_state
+        if self.shard_weights:
+            from decagon_tpu.parallel.sharded import unpad_relation_stacks
+
+            params = unpad_relation_stacks(params, self.device_graph)
+            opt_state = {
+                "m": unpad_relation_stacks(
+                    opt_state["m"], self.device_graph
+                ),
+                "v": unpad_relation_stacks(
+                    opt_state["v"], self.device_graph
+                ),
+                "t": opt_state["t"],
+            }
         return {
-            "params": self.params,
-            "opt_state": self.opt_state,
+            "params": params,
+            "opt_state": opt_state,
             "global_step": self.global_step,
         }
 
     def load_state_dict(self, state: Dict) -> None:
-        self.params = state["params"]
-        self.opt_state = state["opt_state"]
+        params = state["params"]
+        opt_state = state["opt_state"]
+        if self.shard_weights:
+            from decagon_tpu.parallel.sharded import (
+                pad_relation_stacks,
+                shard_state_tree,
+            )
+
+            params = shard_state_tree(
+                pad_relation_stacks(params, self.device_graph),
+                self.device_graph, self.mesh,
+            )
+            opt_state = shard_state_tree(
+                {
+                    "m": pad_relation_stacks(
+                        opt_state["m"], self.device_graph
+                    ),
+                    "v": pad_relation_stacks(
+                        opt_state["v"], self.device_graph
+                    ),
+                    "t": opt_state["t"],
+                },
+                self.device_graph, self.mesh,
+            )
+        self.params = params
+        self.opt_state = opt_state
         self.global_step = int(state["global_step"])
 
     def try_resume(self, checkpointer) -> bool:

@@ -76,7 +76,12 @@ def main():
         dense_dtype=jnp.bfloat16,
         build_fused=False,
     )
-    model = DecagonModel(ModelConfig(spmm_impl="auto"), dg)
+    # Baseline evaluator FORCED to the jnp scoring path ("auto" now
+    # resolves to the compiled Pallas kernel on TPU — that path is timed
+    # separately below).
+    model = DecagonModel(
+        ModelConfig(spmm_impl="auto", sddmm_impl="jnp"), dg
+    )
     params = jax.jit(lambda r: model.init_params(r, dg))(jax.random.PRNGKey(0))
     ev = AccuracyEvaluator(model, graph, splits)
 
@@ -114,29 +119,57 @@ def main():
     scores = ev.evaluate_all_drug_drug(params, dg, embeddings=emb)
     t_all = time.perf_counter() - t_all0
 
-    # Compiled-mode status of the Pallas SDDMM kernel (round-3 finding:
-    # Mosaic's tpu.dynamic_gather only supports single-vreg gather
-    # operands, so the kernel cannot compile at real table sizes).
-    kernel_status = "not probed (cpu backend)"
+    # Compiled Pallas one-hot SDDMM (round 4: gathers are MXU one-hot
+    # matmuls — no tpu.dynamic_gather, so the round-3 Mosaic single-vreg
+    # blocker is gone).  Time it COMPILED on the same flat holdout
+    # stream at both precisions and check numerics against jnp.
+    kernel = {"status": "not probed (cpu backend)"}
     if jax.default_backend() == "tpu":
         from decagon_tpu.ops import sddmm_pallas as sp
 
-        try:
-            z = jnp.zeros((645, 32), jnp.float32)
-            rd = jnp.zeros((963, 32), jnp.float32)
-            g = jnp.eye(32, dtype=jnp.float32)
-            idx = jnp.zeros((1024,), jnp.int32)
-            out = sp.sddmm_pallas_edges(
-                z, z, idx, idx, idx, name="dedicom", glb=g, rel_diag=rd,
-                interpret=False,
-            )
-            hard_sync(out)
-            kernel_status = "compiles and runs"
-        except Exception as exc:  # noqa: BLE001
-            msg = str(exc).split("\n")[0][:200]
-            kernel_status = f"compile failed: {msg}"
+        dd_key = "1,1"
+        dp = params["dec"][dd_key]
+        ks_flat, rows_flat, cols_flat, _ = ev._stage(
+            batches, cache_key=("prof", "flat")
+        )
+        z = emb["1"]
+
+        jnp_ref = np.asarray(
+            ev._score_fns[dd](params, emb, ks_flat, rows_flat, cols_flat)
+        ).reshape(-1)[:n_edges]
+        kernel = {}
+        for precision in ("highest", "default"):
+            try:
+                fn = jax.jit(
+                    lambda ks, r, c, z=z, precision=precision: (
+                        jax.nn.sigmoid(
+                            sp.sddmm_pallas_edges(
+                                z, z, ks, r, c, name="dedicom",
+                                glb=dp["global"],
+                                rel_diag=dp["local_diag"],
+                                precision=precision,
+                            )
+                        )
+                    )
+                )
+                t_k, out = timed(fn, ks_flat, rows_flat, cols_flat)
+                got = np.asarray(out).reshape(-1)[:n_edges]
+                err = float(np.abs(got - jnp_ref).max())
+                kernel[precision] = {
+                    "compiled_ms": round(t_k * 1e3, 2),
+                    "max_abs_prob_err_vs_jnp": round(err, 6),
+                }
+            except Exception as exc:  # noqa: BLE001
+                kernel[precision] = {
+                    "status": f"failed: {str(exc).splitlines()[0][:200]}"
+                }
 
     share = t_score / (t_embed + t_score)
+    best_kernel_ms = min(
+        (v["compiled_ms"] for v in kernel.values()
+         if isinstance(v, dict) and "compiled_ms" in v),
+        default=None,
+    )
     result = {
         "relations": len(batches),
         "scored_edges_per_polarity": int(n_edges),
@@ -145,13 +178,16 @@ def main():
         "sddmm_scoring_cold_ms_incl_upload": round(t_score_cold * 1e3, 2),
         "evaluate_all_ms_incl_sklearn": round(t_all * 1e3, 2),
         "sddmm_share_of_forward_plus_scoring": round(share, 4),
-        "pallas_kernel_compiled_mode": kernel_status,
+        "pallas_kernel_compiled": kernel,
+        "kernel_vs_jnp_speedup": (
+            round(t_score * 1e3 / best_kernel_ms, 2)
+            if best_kernel_ms else None
+        ),
         "verdict": (
-            "jnp SDDMM is the production TPU path: XLA's native gather + "
-            "[B,d]x[d,d] einsum; the fused-gather Pallas kernel is "
-            "interpret-verified but compiled Mosaic rejects its gather "
-            "(single-vreg limit) and a one-hot rewrite would cost 2*t*H "
-            "flops per gathered row"
+            "round 4: the one-hot-matmul Pallas SDDMM compiles under "
+            "Mosaic and replaces the XLA gather path in production "
+            "('auto' on TPU) — see pallas_kernel_compiled for measured "
+            "ms and numerics at eval scale"
         ),
         "auroc_sanity": round(scores.auroc, 4),
     }

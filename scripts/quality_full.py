@@ -12,6 +12,15 @@ the trajectory documents its ceiling.
 Reference hparams throughout (configuration.json: hidden 64->32, batch
 512, lr 1e-3, dropout 0.1, hinge margin 0.1).
 
+Round 4: the reference iter%4 schedule made epochs 72k steps (~1670 s;
+75% of them re-training the 3 fixed relations ~30x — artifacts/perf/
+epoch_profile.json), which is why the round-3 run stopped at epoch 3.
+This run uses schedule="balanced" + relation_group=8 at lr 3e-3 —
+validated to match the reference schedule's per-epoch convergence on the
+mid-scale config (artifacts/quality/schedule_ablation.json: 10-epoch val
+AUROC 0.754 vs 0.752 at ~1/14 the wall) — cutting the epoch to ~27x
+fewer optimization steps at identical training-edge visits.
+
 Usage: python scripts/quality_full.py [--max-hours H] [--max-epochs N]
 Resumable: re-running continues from the latest checkpoint and appends
 to the CSV.
@@ -55,7 +64,7 @@ from decagon_tpu.train.trainer import Trainer
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ART_DIR = os.path.join(ROOT, "artifacts", "quality")
-CKPT_DIR = os.path.join(ROOT, "artifacts", "quality", "poly963_ckpt")
+CKPT_DIR = os.path.join(ROOT, "artifacts", "quality", "poly963_ckpt_r4")
 
 
 def main():
@@ -63,6 +72,11 @@ def main():
     ap.add_argument("--max-hours", type=float, default=4.0)
     ap.add_argument("--max-epochs", type=int, default=60)
     ap.add_argument("--patience", type=int, default=6)
+    ap.add_argument("--ckpt-every", type=int, default=3,
+                    help="epochs between checkpoint saves (a save costs "
+                         "~70s over the device tunnel)")
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--group", type=int, default=8)
     args = ap.parse_args()
 
     t0 = time.time()
@@ -86,15 +100,17 @@ def main():
         dg,
     )
     cfg = TrainConfig(
-        batch_size=512, learning_rate=1e-3, loss="hinge", margin=0.1,
-        num_epochs=1, scan_chunk=32,
+        batch_size=512, learning_rate=args.lr, loss="hinge", margin=0.1,
+        num_epochs=1, scan_chunk=32, schedule="balanced",
+        relation_group=args.group,
     )
     trainer = Trainer(model, graph, splits, dg, cfg, seed=0)
     evaluator = AccuracyEvaluator(model, graph, splits)
     checkpointer = Checkpointer(CKPT_DIR, max_to_keep=2)
     resumed = trainer.try_resume(checkpointer)
-    # Track epochs via global_step (steps/epoch is deterministic).
-    steps_per_epoch = len(list(trainer.scheduler.epoch()))
+    # Track epochs via global_step (balanced epochs have an exact,
+    # deterministic batch count — no RNG-consuming dry enumeration).
+    steps_per_epoch = trainer.scheduler.num_batches_per_epoch()
     start_epoch = trainer.global_step // steps_per_epoch
     log(
         f"steps/epoch={steps_per_epoch} resumed={resumed} "
@@ -128,7 +144,8 @@ def main():
              f"{test.apk:.5f}", f"{time.time() - t0:.1f}"]
         )
         f.flush()
-        checkpointer.save(trainer.global_step, trainer.state_dict())
+        if epoch % args.ckpt_every == 0 or epoch == args.max_epochs:
+            checkpointer.save(trainer.global_step, trainer.state_dict())
         log(
             f"epoch {epoch}: val AUROC {val.auroc:.4f} "
             f"test AUROC {test.auroc:.4f} AUPRC {test.auprc:.4f}"

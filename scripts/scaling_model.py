@@ -82,7 +82,14 @@ def step_comm(nr: int, ne: int, shard_weights: bool,
             blk = nb * h * F32
             act += ring_allreduce_bytes(blk, ne)  # edge-axis psum
             act += ring_allgather_bytes(blk, nr)  # row-axis gather
-    act *= 2  # fwd + transposed collectives in bwd
+    # fwd + mirrored bwd: gather_rows' backward is a row-axis
+    # reduce-scatter + edge-axis psum of the scattered block
+    # (parallel/collectives.py, round 4) — the exact transpose of the
+    # forward all_gather + psum, so bwd wire volume == fwd wire volume.
+    # (The round-3 implementation all-reduced the FULL table over both
+    # axes in bwd, which this model under-counted — ADVICE r3; the
+    # implementation now matches the model rather than vice versa.)
+    act *= 2
 
     if shard_weights:
         enc_bytes = (PARAM_BYTES_TOTAL - DEC_BYTES) * grad_bytes_per_el // F32

@@ -489,3 +489,48 @@ def test_weight_sharded_bf16_grad_reduce_close(world):
     np.testing.assert_allclose(
         traces["bfloat16"], traces["float32"], rtol=2e-2
     )
+
+
+def test_mesh_checkpoint_topology_independent(world, tmp_path):
+    """Checkpoints from a weight-sharded mesh trainer restore into a
+    DIFFERENT mesh shape and into the single-chip trainer (ADVICE r3:
+    state_dict unpads the edge-sharded relation stacks; load_state_dict
+    re-pads and re-shards for the restoring topology)."""
+    from decagon_tpu.train.checkpoint import Checkpointer
+    from decagon_tpu.train.trainer import Trainer
+
+    graph, splits, device_graph, model, params = world
+    cfg = TrainConfig(batch_size=64, learning_rate=1e-2)
+    t1 = Trainer(
+        model, graph, splits, device_graph, cfg, seed=0,
+        mesh=make_mesh(shape=(2, 4)),
+    )
+    assert t1.shard_weights, "fixture must exercise the sharded-leaf path"
+    for batch in list(t1.scheduler.epoch())[:4]:
+        t1.train_batch(batch)
+    ckpt = Checkpointer(str(tmp_path / "ck_topo"), max_to_keep=1)
+    ckpt.save(t1.global_step, t1.state_dict())
+    ckpt.wait()
+    want = jax.tree_util.tree_map(np.asarray, t1.state_dict())
+
+    # Same params through a (1, 8) mesh and through the single-chip
+    # trainer: the checkpoint is topology-free (unpadded num_rel stacks).
+    t2 = Trainer(
+        model, graph, splits, device_graph, cfg, seed=0,
+        mesh=make_mesh(shape=(1, 8)),
+    )
+    assert t2.try_resume(ckpt)
+    t3 = Trainer(model, graph, splits, device_graph, cfg, seed=0)
+    assert t3.try_resume(ckpt)
+    for t in (t2, t3):
+        got = jax.tree_util.tree_map(np.asarray, t.state_dict())
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(want),
+            jax.tree_util.tree_leaves_with_path(got),
+        ):
+            assert pa == pb
+            np.testing.assert_array_equal(a, b)
+        loss = None
+        for batch in list(t.scheduler.epoch())[:2]:
+            loss = t.train_batch(batch)
+        assert np.isfinite(float(loss))

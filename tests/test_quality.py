@@ -73,11 +73,12 @@ def test_converged_artifacts_checked_in():
         )
 
 
-def test_poly963_fullscale_artifact_sane():
-    """The paper-scale (963-relation) converged-quality run streams
-    per-epoch pooled metrics to poly963_metrics.csv (VERDICT round-2
-    item 3).  The trajectory must be finite, start above chance after
-    epoch 1, and never regress catastrophically."""
+def test_poly963_fullscale_converged():
+    """The paper-scale (963-relation) converged-quality run
+    (scripts/quality_full.py; VERDICT r3 item 1).  The checked-in
+    trajectory must be finite, start above chance, reach a REAL quality
+    floor (>=0.80 test AUROC — the round-3 gate asserted almost nothing),
+    and not regress from its best."""
     import csv
     import os
 
@@ -92,6 +93,11 @@ def test_poly963_fullscale_artifact_sane():
     aurocs = [float(r["TestAUROC"]) for r in rows]
     assert all(0.0 <= a <= 1.0 for a in aurocs)
     assert aurocs[0] > 0.55, f"epoch-1 test AUROC {aurocs[0]} at chance"
-    assert max(aurocs) == max(aurocs[-3:]) or max(aurocs) - aurocs[-1] < 0.05, (
-        "trajectory regressed by >0.05 from its best"
+    assert max(aurocs) >= 0.80, (
+        f"best test AUROC {max(aurocs):.4f} below the 0.80 floor "
+        "(north star 0.87; see artifacts/quality/QUALITY_NOTE.md for "
+        "the synthetic-proxy ceiling analysis)"
+    )
+    assert max(aurocs) - aurocs[-1] < 0.02, (
+        "trajectory regressed by >0.02 from its best"
     )
