@@ -121,6 +121,8 @@ def make_polypharmacy_like_graph(
     mono_features: bool = False,
     n_mono_side_effects: int = 0,
     planted_rank: int = 0,
+    planted_out: Optional[dict] = None,
+    planted_noise: float = 0.3,
 ) -> RelationGraph:
     """A larger random graph shaped like the polypharmacy dataset.
 
@@ -191,12 +193,24 @@ def make_polypharmacy_like_graph(
     if planted_rank > 0:
         z = rng.randn(n_drugs, planted_rank) / np.sqrt(planted_rank)
         iu, ju = np.triu_indices(n_drugs, k=1)
+        if planted_out is not None:
+            # Expose the ground-truth factors so quality analyses can
+            # score the ORACLE ceiling of this proxy (the best any
+            # DistMult-family learner could do on held-out edges).
+            planted_out["z"] = z
+            planted_out["d"] = []
     for s, size in enumerate(sizes):
         size = int(min(size, max_pairs))
         if planted_rank > 0:
             d = rng.randn(planted_rank)
+            if planted_out is not None:
+                planted_out["d"].append(d)
             logits = ((z * d) @ z.T)[iu, ju]
-            logits = logits + 0.3 * rng.randn(logits.shape[0])
+            # ``planted_noise`` sets the proxy's ceiling: the oracle
+            # (true factors) scores held-out edges at ~0.856 AUROC at
+            # the 0.3 default and ~0.93+ at 0.1 (scripts/
+            # oracle_ceiling.py sweeps this).
+            logits = logits + planted_noise * rng.randn(logits.shape[0])
             top = np.argpartition(-logits, size - 1)[:size]
             upper = np.stack([iu[top], ju[top]], axis=1)
         else:

@@ -99,17 +99,17 @@ def _spmm_kernel(
         src_local = jax.lax.bitwise_and(both, 0xFFFF)
         dst_local = jax.lax.shift_right_logical(both, 16)
         vals = pltpu.bitcast(tile_buf[slot, 1:2, :], jnp.float32)  # [1, C]
-        # bf16 source windows (PALLAS_NOTE lever 3): when p_hbm is bf16
-        # the window DMA — the kernel's dominant HBM traffic — halves;
-        # the one-hot carries the (bf16-rounded) edge values so the MXU
-        # runs a native single-pass bf16 matmul with fp32 accumulation.
-        vals = vals.astype(src_buf.dtype)
 
         # One-hot gather matrix [S, C]: column c holds vals[c] at row
         # src_local[c].  Lane-aligned broadcasts only (no relayouts).
+        # Built in f32 (Mosaic rejects the sublane-1 bf16 broadcast),
+        # then converted whole-tile to the window dtype: with bf16
+        # source windows (PALLAS_NOTE lever 3) the window DMA — the
+        # kernel's dominant HBM traffic — halves, and the MXU runs a
+        # native single-pass bf16 matmul with fp32 accumulation.
         iota_sc = jax.lax.broadcasted_iota(jnp.int32, (s, c), 0)
-        src_oh = jnp.where(
-            iota_sc == src_local, vals, jnp.zeros((), src_buf.dtype)
+        src_oh = jnp.where(iota_sc == src_local, vals, 0.0).astype(
+            src_buf.dtype
         )
         msgs = jax.lax.dot_general(
             src_oh,

@@ -61,6 +61,12 @@ class TrainConfig:
     # = every relation's batches exactly once per epoch, randomly
     # interleaved (~3.4x fewer steps over the same training edges).
     schedule: str = "reference"
+    # Single-chip steps apply Adam through the Pallas fully-fused
+    # kernel (one read-modify-write HBM pass per big leaf,
+    # ops/optim.fused_adam_apply) on TPU; False keeps the XLA
+    # elementwise chain.  Identical math either way; sharded steps
+    # always use the XLA chain (elementwise ops shard under GSPMD).
+    pallas_adam: bool = True
     # >1: score this many relation-batches per optimization step against
     # ONE shared encoder forward (make_grouped_chunked_train_step).  The
     # full-graph encoder fwd+bwd dominates step cost and is independent
@@ -163,6 +169,26 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     )
 
 
+def apply_optimizer(optimizer, cfg: TrainConfig, grads, opt_state, params):
+    """params/opt_state update: the Pallas fully-fused Adam on the TPU
+    single-chip path (one HBM pass per big leaf), the optax contract
+    otherwise.  Bit-identical math (tests/test_optim.py)."""
+    if (
+        getattr(cfg, "pallas_adam", True)
+        and not cfg.lazy_decoder_adam
+        and jax.default_backend() == "tpu"
+        and isinstance(opt_state, dict)
+        and {"m", "v", "t"} <= set(opt_state)
+    ):
+        from decagon_tpu.ops.optim import fused_adam_apply
+
+        return fused_adam_apply(
+            grads, opt_state, params, cfg.learning_rate
+        )
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state
+
+
 def make_train_step(
     model: DecagonModel,
     edge_type: EdgeType,
@@ -208,8 +234,9 @@ def make_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(
             params, graph, k, rows, cols, rng
         )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state = apply_optimizer(
+            optimizer, cfg, grads, opt_state, params
+        )
         return params, opt_state, loss
 
     return step
@@ -300,8 +327,9 @@ def make_chunked_train_step(
             loss, grads = jax.value_and_grad(loss_fn)(
                 params, graph, b, kk, r, c, rng
             )
-            updates, new_opt = optimizer.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
+            new_params, new_opt = apply_optimizer(
+                optimizer, cfg, grads, opt_state, params
+            )
             keep = lambda n, o: jnp.where(v, n, o)
             params = jax.tree_util.tree_map(keep, new_params, params)
             opt_state = jax.tree_util.tree_map(keep, new_opt, opt_state)
@@ -393,8 +421,9 @@ def make_grouped_chunked_train_step(
             loss, grads = jax.value_and_grad(slot_loss)(
                 params, graph, b, kk, r, c, v, rng
             )
-            updates, new_opt = optimizer.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
+            new_params, new_opt = apply_optimizer(
+                optimizer, cfg, grads, opt_state, params
+            )
             any_v = jnp.any(v)
             keep = lambda n, o: jnp.where(any_v, n, o)
             params = jax.tree_util.tree_map(keep, new_params, params)

@@ -77,6 +77,11 @@ def main():
                          "~70s over the device tunnel)")
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--noise", type=float, default=0.3,
+                    help="planted selection noise; 0.3 caps the proxy's "
+                         "oracle ceiling at 0.856 test AUROC, 0.15 at "
+                         "0.934 (artifacts/quality/oracle_ceiling.json) "
+                         "- non-default runs write tagged artifacts")
     args = ap.parse_args()
 
     t0 = time.time()
@@ -84,10 +89,13 @@ def main():
     def log(msg):
         print(f"[poly963 +{time.time() - t0:.0f}s] {msg}", flush=True)
 
+    tag = "" if args.noise == 0.3 else f"_noise{args.noise:g}"
+    ckpt_dir = CKPT_DIR + tag
     graph = make_polypharmacy_like_graph(
         n_proteins=19081, n_drugs=645, n_side_effects=963,
         min_edges_per_relation=500, total_drugdrug_edges=4_651_131,
         ppi_attachment=37, seed=7, planted_rank=16,
+        planted_noise=args.noise,
     )
     splits = split_graph(graph, val_frac=0.05, test_frac=0.05, seed=8)
     dg = build_device_graph(
@@ -106,7 +114,7 @@ def main():
     )
     trainer = Trainer(model, graph, splits, dg, cfg, seed=0)
     evaluator = AccuracyEvaluator(model, graph, splits)
-    checkpointer = Checkpointer(CKPT_DIR, max_to_keep=2)
+    checkpointer = Checkpointer(ckpt_dir, max_to_keep=2)
     resumed = trainer.try_resume(checkpointer)
     # Track epochs via global_step (balanced epochs have an exact,
     # deterministic batch count — no RNG-consuming dry enumeration).
@@ -118,7 +126,7 @@ def main():
     )
 
     os.makedirs(ART_DIR, exist_ok=True)
-    csv_path = os.path.join(ART_DIR, "poly963_metrics.csv")
+    csv_path = os.path.join(ART_DIR, f"poly963{tag}_metrics.csv")
     mode = "a" if resumed and os.path.exists(csv_path) else "w"
     best_val, since_best = -1.0, 0
     f = open(csv_path, mode, newline="")

@@ -70,3 +70,45 @@ def test_fused_adam_state_roundtrips_through_tree_ops():
     u2, _ = fus.update(grads, rebuilt, params)
     for a, b in zip(jax.tree_util.tree_leaves(u1), jax.tree_util.tree_leaves(u2)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_fused_adam_apply_matches_update_plus_apply():
+    """The Pallas fully-fused apply (interpret mode) is bit-identical to
+    fused_adam.update + optax.apply_updates — same math, one HBM pass."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from decagon_tpu.ops.optim import fused_adam, fused_adam_apply
+
+    rng = np.random.default_rng(0)
+    params = {
+        "big": jnp.asarray(rng.standard_normal((70, 130)), jnp.float32),
+        "small": jnp.asarray(rng.standard_normal((7,)), jnp.float32),
+    }
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(
+            rng.standard_normal(p.shape), jnp.float32
+        ),
+        params,
+    )
+    opt = fused_adam(1e-2)
+    state = opt.init(params)
+    # A couple of steps so t > 1 exercises the bias-correction scalars.
+    want_p, want_s = params, state
+    got_p, got_s = params, state
+    for _ in range(3):
+        upd, want_s = opt.update(grads, want_s, want_p)
+        want_p = optax.apply_updates(want_p, upd)
+        got_p, got_s = fused_adam_apply(
+            grads, got_s, got_p, 1e-2, interpret=True,
+            min_pallas_size=64,  # force the kernel onto the big leaf
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves((want_p, want_s)),
+        jax.tree_util.tree_leaves((got_p, got_s)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
