@@ -210,3 +210,65 @@ def test_neg_sample_size_fanout(small_world):
     t1 = Trainer(model, graph, splits, dg, cfg1, seed=0)
     first1 = float(t1.train_batch(next(iter(t1.scheduler.epoch()))))
     assert losses[0] > first1
+
+
+def test_balanced_schedule_exact_coverage():
+    """schedule='balanced': one epoch visits every relation's full
+    batches exactly once (tiny relations wrap-pad to one batch), count
+    matches num_batches_per_epoch exactly."""
+    from collections import Counter
+
+    import numpy as np
+
+    from decagon_tpu.graph.split import split_graph
+    from decagon_tpu.graph.synthetic import make_synthetic_graph
+    from decagon_tpu.train.sampler import MinibatchScheduler
+
+    graph = make_synthetic_graph(
+        n_genes=120, n_drugs=80, n_drugdrug_types=3, seed=0
+    )
+    splits = split_graph(graph, val_frac=0.1, test_frac=0.0, seed=1)
+    sch = MinibatchScheduler(
+        graph, splits, batch_size=64, seed=5, schedule="balanced"
+    )
+    for _ in range(2):  # two epochs: coverage must repeat
+        batches = list(sch.epoch())
+        assert len(batches) == sch.num_batches_per_epoch()
+        per_rel = Counter((b.edge_type, b.k) for b in batches)
+        for key in graph.relation_keys():
+            n = splits[key].train.shape[0]
+            want = max(n // 64, 1 if n else 0)
+            assert per_rel[(key[:2], key[2])] == want, key
+
+
+def test_grouped_step_trains_and_counts_steps():
+    """relation_group=G: G scheduler batches per optimization step, one
+    loss per slot, finite and decreasing overall; global_step counts
+    batches."""
+    import numpy as np
+
+    from decagon_tpu.graph.device import build_device_graph
+    from decagon_tpu.graph.split import split_graph
+    from decagon_tpu.graph.synthetic import make_synthetic_graph
+    from decagon_tpu.models.model import DecagonModel, ModelConfig
+    from decagon_tpu.train.step import TrainConfig
+    from decagon_tpu.train.trainer import Trainer
+
+    graph = make_synthetic_graph(
+        n_genes=100, n_drugs=60, n_drugdrug_types=2, seed=0
+    )
+    splits = split_graph(graph, val_frac=0.1, test_frac=0.0, seed=1)
+    dg = build_device_graph(graph, splits, edge_pad_multiple=128)
+    model = DecagonModel(ModelConfig(hidden1=16, hidden2=8), dg)
+    cfg = TrainConfig(
+        batch_size=64, learning_rate=1e-3, scan_chunk=4,
+        schedule="balanced", relation_group=3, num_epochs=1,
+    )
+    trainer = Trainer(model, graph, splits, dg, cfg, seed=0)
+    losses = []
+    trainer.iteration_hook = lambda t, r: losses.append(r.loss)
+    trainer.train(num_epochs=4)
+    n_batches = trainer.scheduler.num_batches_per_epoch()
+    assert trainer.global_step == 4 * n_batches
+    assert all(np.isfinite(l) for l in losses)
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
