@@ -181,6 +181,13 @@ def train_once(
             if str(config.get("DenseDtype", "f32")) in ("bf16", "bfloat16")
             else np.float32
         ),
+        # int8 factored stacks (half the dense path's HBM traffic) —
+        # what spmm_impl="auto" prefers on TPU when built.
+        dense_factored=bool(
+            config.get(
+                "DenseFactored", jax.default_backend() != "cpu"
+            )
+        ),
     )
     model = DecagonModel(model_cfg, device_graph)
 

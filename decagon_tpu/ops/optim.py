@@ -85,10 +85,12 @@ def fused_adam(
 # 9 HBM passes/leaf).  The Pallas kernel below computes m', v', AND p'
 # in ONE kernel (read g,m,v,p + write m,v,p: 7 passes — the HBM floor
 # for dense f32 Adam), with the big leaves tiled over a flat grid.
-# Exposed via ``fused_adam_apply``: step builders call it instead of
-# update+apply_updates on the single-chip path (the sharded steps keep
-# the optax contract — elementwise XLA ops shard trivially under
-# GSPMD, a Pallas call would not).
+# Exposed via ``fused_adam_apply`` (TrainConfig.pallas_adam, default
+# OFF): measured at paper scale the kernel currently LOSES to the XLA
+# chain — its flatten+pad prep physically relayouts the padded weight
+# stacks each step (64.7 vs 34.2 ms raw-update microbench on v5e), the
+# same trap as round 2's optax.flatten.  A natural-shape per-leaf-block
+# variant (no reshape) is the path to the 7-pass floor.
 
 from functools import partial as _partial
 

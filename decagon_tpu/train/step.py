@@ -61,12 +61,14 @@ class TrainConfig:
     # = every relation's batches exactly once per epoch, randomly
     # interleaved (~3.4x fewer steps over the same training edges).
     schedule: str = "reference"
-    # Single-chip steps apply Adam through the Pallas fully-fused
-    # kernel (one read-modify-write HBM pass per big leaf,
-    # ops/optim.fused_adam_apply) on TPU; False keeps the XLA
-    # elementwise chain.  Identical math either way; sharded steps
-    # always use the XLA chain (elementwise ops shard under GSPMD).
-    pallas_adam: bool = True
+    # True routes single-chip TPU steps through the Pallas fused Adam
+    # (ops/optim.fused_adam_apply).  DEFAULT FALSE: measured at paper
+    # scale the kernel LOSES to the XLA elementwise chain (64.7 vs
+    # 34.2 ms on the raw update microbench) because its flatten+pad
+    # prep physically RELAYOUTS the padded weight stacks every step —
+    # the same trap as round 2's optax.flatten.  Kept as an opt-in
+    # until a natural-shape (per-leaf-block) kernel variant lands.
+    pallas_adam: bool = False
     # >1: score this many relation-batches per optimization step against
     # ONE shared encoder forward (make_grouped_chunked_train_step).  The
     # full-graph encoder fwd+bwd dominates step cost and is independent

@@ -534,3 +534,24 @@ def test_mesh_checkpoint_topology_independent(world, tmp_path):
         for batch in list(t.scheduler.epoch())[:2]:
             loss = t.train_batch(batch)
         assert np.isfinite(float(loss))
+
+
+def test_mesh_trainer_large_hidden(world):
+    """BASELINE config 5 names 'large hidden dims' for the multi-host
+    slice: one weight-sharded mesh chunk at hidden 256->128 (8x the
+    paper dims) must compile, run, and stay finite."""
+    from decagon_tpu.train.trainer import Trainer
+
+    graph, splits, device_graph, model, params = world
+    big = DecagonModel(
+        ModelConfig(hidden1=256, hidden2=128, dropout=0.0), device_graph
+    )
+    cfg = TrainConfig(batch_size=64, learning_rate=1e-3, scan_chunk=2)
+    trainer = Trainer(
+        big, graph, splits, device_graph, cfg, seed=0,
+        mesh=make_mesh(shape=(2, 4)),
+    )
+    assert trainer.shard_weights
+    batches = list(trainer.scheduler.epoch())[:2]
+    losses = np.asarray(trainer.train_chunk(batches, 2))
+    assert np.all(np.isfinite(losses))

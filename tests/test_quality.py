@@ -101,3 +101,25 @@ def test_poly963_fullscale_converged():
     assert max(aurocs) - aurocs[-1] < 0.02, (
         "trajectory regressed by >0.02 from its best"
     )
+
+
+def test_poly963_reduced_noise_meets_north_star():
+    """The converged run on the reduced-noise proxy — whose oracle
+    ceiling (0.934, artifacts/quality/oracle_ceiling.json) honestly
+    supports the BASELINE target — must reach test AUROC >= 0.87."""
+    import csv
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "quality", "poly963_noise0.15_metrics.csv",
+    )
+    assert os.path.exists(path), "missing poly963_noise0.15_metrics.csv"
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert rows, "no epochs recorded"
+    best = max(float(r["TestAUROC"]) for r in rows)
+    assert best >= 0.87, (
+        f"best test AUROC {best:.4f} below the 0.87 north star on the "
+        "ceiling-0.934 proxy"
+    )
