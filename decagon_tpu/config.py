@@ -97,4 +97,7 @@ class Config:
             lazy_decoder_adam=bool(self.get("LazyDecoderAdam", False)),
             shard_weights=bool(self.get("ShardWeights", True)),
             grad_reduce_dtype=str(self.get("GradReduceDtype", "float32")),
+            adam_moments_dtype=str(
+                self.get("AdamMomentsDtype", "float32")
+            ),
         )

@@ -31,13 +31,24 @@ def fused_adam(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    moments_dtype=None,
 ) -> optax.GradientTransformation:
-    """Drop-in ``optax.adam`` with per-leaf single-pass updates."""
+    """Drop-in ``optax.adam`` with per-leaf single-pass updates.
+
+    ``moments_dtype=jnp.bfloat16`` stores m/v at half width — at paper
+    scale the optimizer pass is HBM-bound on the m/v/p traffic, so this
+    trims ~4/14 of its bytes; the decay/bias-correction arithmetic
+    still runs in fp32 (quality validated on the mid-scale config:
+    artifacts/quality/adam_bf16_moments.json)."""
 
     def init(params):
+        def zeros(p):
+            dt = moments_dtype or p.dtype
+            return jnp.zeros(p.shape, dt)
+
         return {
-            "m": jax.tree_util.tree_map(jnp.zeros_like, params),
-            "v": jax.tree_util.tree_map(jnp.zeros_like, params),
+            "m": jax.tree_util.tree_map(zeros, params),
+            "v": jax.tree_util.tree_map(zeros, params),
             "t": jnp.zeros((), jnp.int32),
         }
 
@@ -51,11 +62,14 @@ def fused_adam(
         s2 = 1.0 / (1.0 - jnp.power(b2, tf))
 
         def one(g, m, v):
-            m_new = b1 * m + (1.0 - b1) * g
-            v_new = b2 * v + (1.0 - b2) * (g * g)
+            store = m.dtype
+            m_new = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+            v_new = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
             upd = (-learning_rate) * (s1 * m_new) / (
                 jnp.sqrt(s2 * v_new) + eps
             )
+            m_new = m_new.astype(store)
+            v_new = v_new.astype(store)
             return upd, m_new, v_new
 
         flat_g, treedef = jax.tree_util.tree_flatten(grads)
@@ -86,11 +100,18 @@ def fused_adam(
 # in ONE kernel (read g,m,v,p + write m,v,p: 7 passes — the HBM floor
 # for dense f32 Adam), with the big leaves tiled over a flat grid.
 # Exposed via ``fused_adam_apply`` (TrainConfig.pallas_adam, default
-# OFF): measured at paper scale the kernel currently LOSES to the XLA
-# chain — its flatten+pad prep physically relayouts the padded weight
-# stacks each step (64.7 vs 34.2 ms raw-update microbench on v5e), the
-# same trap as round 2's optax.flatten.  A natural-shape per-leaf-block
-# variant (no reshape) is the path to the 7-pass floor.
+# OFF).  Measured on v5e at paper-scale leaf shapes, BOTH kernel
+# variants lose to the XLA chain: the original flatten+pad prep
+# relayouted the padded stacks each step (64.7 vs 34.2 ms raw-update
+# microbench — round 2's optax.flatten trap), and the natural-shape
+# 3D-block rewrite below still runs 47.7 vs 30.4 ms — ~1900 small
+# grid steps of per-step fixed cost swamp the saved pass.  The honest
+# accounting: the [K, 645, 64] stacks' PHYSICAL layout pads 64 -> 128
+# lanes, so every elementwise pass moves ~2x the logical bytes and the
+# true HBM floor for this update is ~5.5 ms — which the fused XLA
+# chain's measured 6.5 ms in the real step (fullscale_step_profile.
+# json) already approaches at ~85%.  The kernel stays as an opt-in
+# record of the negative result.
 
 from functools import partial as _partial
 
@@ -115,41 +136,49 @@ def _adam_kernel(s_ref, g_ref, m_ref, v_ref, p_ref,
 
 
 def _adam_leaf(g, m, v, p, scalars, lr, b1, b2, eps, interpret=False):
-    """One fused Adam pass over a leaf of any shape (flattened+tiled)."""
-    shape = g.shape
-    n = g.size
-    rows = -(-n // _LANES)
-    rows_pad = -(-rows // _ADAM_BLOCK_ROWS) * _ADAM_BLOCK_ROWS
-    pad = rows_pad * _LANES - n
+    """One fused Adam pass over a 3D leaf IN ITS NATURAL SHAPE.
 
-    def prep(x):
-        x = x.reshape(-1)
-        if pad:
-            x = jnp.pad(x, (0, pad))
-        return x.reshape(rows_pad, _LANES)
-
-    grid = rows_pad // _ADAM_BLOCK_ROWS
+    No reshape/flatten: a reshape of a padded-interior TPU array is a
+    physical relayout (the original flattened variant of this kernel
+    LOST 30 ms/step to exactly that — the round-2 optax.flatten trap).
+    The grid tiles the two leading dims; the trailing dim rides whole
+    (its lane padding is the array's own physical layout, so DMA
+    matches storage)."""
+    d0, d1, h = g.shape
+    # VMEM accounting uses PHYSICAL bytes: the trailing dim pads to 128
+    # lanes, d1 to 8 sublanes, and the pipeline double-buffers every
+    # operand (7 live refs + 1 scalar) — so the per-block budget is a
+    # small fraction of the ~16 MB VMEM.
+    h_pad = -(-h // 128) * 128
+    row_bytes = (-(-d1 // 8) * 8) * h_pad * 4
+    budget = 384 * 1024  # x7 operands x2 pipeline ~ 5.3 MB
+    if row_bytes <= budget:
+        blk1 = d1
+        blk0 = max(1, budget // max(row_bytes, 1))
+    else:
+        blk1 = max(8, (budget // (h_pad * 4)) // 8 * 8)
+        blk0 = 1
+    blk0 = min(blk0, d0)
+    grid = (-(-d0 // blk0), -(-d1 // blk1))
     spec = pl.BlockSpec(
-        (_ADAM_BLOCK_ROWS, _LANES), lambda i: (i, 0),
-        memory_space=pltpu.VMEM,
+        (blk0, blk1, h), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         _partial(_adam_kernel, lr=lr, b1=b1, b2=b2, eps=eps),
-        grid=(grid,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             spec, spec, spec, spec,
         ],
         out_specs=(spec, spec, spec),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((rows_pad, _LANES), jnp.float32)
+            jax.ShapeDtypeStruct((d0, d1, h), jnp.float32)
             for _ in range(3)
         ),
         input_output_aliases={2: 0, 3: 1, 4: 2},
         interpret=interpret,
-    )(scalars, prep(g), prep(m), prep(v), prep(p))
-    m2, v2, p2 = (x.reshape(-1)[:n].reshape(shape) for x in out)
-    return m2, v2, p2
+    )(scalars, g, m, v, p)
+    return out
 
 
 def fused_adam_apply(
@@ -179,7 +208,12 @@ def fused_adam_apply(
     flat_p = treedef.flatten_up_to(params)
     new_m, new_v, new_p = [], [], []
     for g, m, v, p in zip(flat_g, flat_m, flat_v, flat_p):
-        if g.size >= min_pallas_size and g.dtype == jnp.float32:
+        if (
+            g.ndim == 3
+            and g.size >= min_pallas_size
+            and g.dtype == jnp.float32
+            and m.dtype == jnp.float32  # bf16 moments: XLA chain only
+        ):
             m2, v2, p2 = _adam_leaf(
                 g, m, v, p, scalars, learning_rate, b1, b2, eps,
                 interpret=interpret,

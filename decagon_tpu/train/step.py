@@ -79,6 +79,11 @@ class TrainConfig:
     # artifacts/quality/schedule_ablation.json).  Requires scan_chunk>0;
     # single-chip only.
     relation_group: int = 1
+    # Storage dtype for Adam's m/v moments: "bfloat16" halves their
+    # HBM traffic in the (memory-bound) optimizer pass; the update
+    # arithmetic stays fp32.  Quality-validated on the mid-scale config
+    # (artifacts/quality/adam_bf16_moments.json).
+    adam_moments_dtype: str = "float32"
     # TF1 parity knob: the reference's Adam applies SPARSE (lazy) moment
     # updates to decoder rows reached through tf.gather — rows of
     # relations not trained this step keep their momentum instead of
@@ -159,7 +164,16 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     # of the 39 ms full-scale step (artifacts/perf/adam_probe.json).
     from decagon_tpu.ops.optim import fused_adam
 
-    adam = fused_adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    moments = (
+        jnp.bfloat16
+        if getattr(cfg, "adam_moments_dtype", "float32")
+        in ("bfloat16", "bf16")
+        else None
+    )
+    adam = fused_adam(
+        cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+        moments_dtype=moments,
+    )
     if not cfg.lazy_decoder_adam:
         return adam
     lazy = _lazy_rows_adam(cfg.learning_rate, 0.9, 0.999, 1e-8)

@@ -84,7 +84,10 @@ def test_fused_adam_apply_matches_update_plus_apply():
 
     rng = np.random.default_rng(0)
     params = {
-        "big": jnp.asarray(rng.standard_normal((70, 130)), jnp.float32),
+        # 3D big leaf takes the natural-shape kernel; the others the
+        # XLA chain.
+        "big": jnp.asarray(rng.standard_normal((5, 70, 130)), jnp.float32),
+        "flat2d": jnp.asarray(rng.standard_normal((70, 130)), jnp.float32),
         "small": jnp.asarray(rng.standard_normal((7,)), jnp.float32),
     }
     grads = jax.tree.map(
