@@ -643,3 +643,152 @@ def make_sharded_embed_fn(
             check_vma=False,
         )
     )
+
+
+def make_sharded_grouped_chunked_train_step(
+    model: DecagonModel,
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    graph_template: ShardedGraph,
+    axes=AXES,
+    shard_weights: bool = False,
+) -> Callable:
+    """Mesh counterpart of ``make_grouped_chunked_train_step``: per
+    optimization step, ``G = cfg.relation_group`` relation-batches share
+    ONE sharded encoder forward (its psum/all_gather boundary exchange
+    runs once per step instead of once per batch — the grouped step's
+    communication savings mirror its compute savings).  Scoring,
+    negative sampling, gradient psums (per leaf kind, as in
+    ``make_sharded_chunked_train_step``), and the masked optimizer
+    update follow the ungrouped sharded chunk.
+
+    Returns ``chunk(params, opt_state, graph, base_rng, branch[C,G],
+    k[C,G], rows[C,G,B], cols[C,G,B], step_no[C], valid[C,G]) ->
+    (params, opt_state, losses[C])``.
+    """
+    edge_types = graph_template.edge_types
+    n_shards = mesh.shape[axes[0]] * mesh.shape[axes[1]]
+    if cfg.batch_size % n_shards != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide over {n_shards} shards"
+        )
+    g_specs = sharded_pspecs(graph_template, axes)
+    sharded_keys = (
+        shardable_weight_keys(graph_template) if shard_weights
+        else frozenset()
+    )
+    if sharded_keys:
+        p_specs = make_param_pspecs(graph_template, axes)
+        if cfg.lazy_decoder_adam:
+            raise ValueError(
+                "shard_weights requires the fused/plain Adam state"
+            )
+        opt_specs = {"m": p_specs, "v": p_specs, "t": P()}
+    else:
+        p_specs = P()
+        opt_specs = P()
+    row_dtype = (
+        jnp.bfloat16
+        if cfg.grad_reduce_dtype in ("bfloat16", "bf16")
+        and mesh.shape[axes[0]] > 1
+        else None
+    )
+    mc = model.config
+    ns = max(1, cfg.neg_sample_size)
+    local_batch = cfg.batch_size // n_shards
+
+    def slot_loss(params, graph, branch, k, rows, cols, valid, rng):
+        enc_rng, sample_rng = jax.random.split(rng)
+        shard = (
+            jax.lax.axis_index(axes[0]) * mesh.shape[axes[1]]
+            + jax.lax.axis_index(axes[1])
+        )
+        embeddings = encode_sharded(
+            params, graph, enc_rng,
+            dropout_rate=mc.dropout,
+            deterministic=False,
+            spmm_impl=mc.spmm_impl,
+            per_relation_dropout_max=mc.per_relation_dropout_max,
+            axes=axes,
+            spmm_precision=mc.spmm_precision,
+            sharded_keys=sharded_keys,
+        )
+        total = jnp.float32(0.0)
+        for g in range(branch.shape[0]):
+            srng = jax.random.fold_in(
+                jax.random.fold_in(sample_rng, g), shard
+            )
+
+            def make_branch(et, g=g, srng=srng):
+                et_key = etkey(et)
+
+                def scoring(_):
+                    pos = model.score_edges(
+                        params, graph, embeddings, et, k[g], rows[g],
+                        cols[g],
+                    )
+                    neg_rows = sample_unigram(
+                        srng, graph.neg_cdf[et_key][k[g]],
+                        local_batch * ns,
+                    )
+                    neg_cols = (
+                        jnp.tile(cols[g], ns) if ns > 1 else cols[g]
+                    )
+                    neg = model.score_edges(
+                        params, graph, embeddings, et, k[g], neg_rows,
+                        neg_cols,
+                    )
+                    if cfg.loss == "hinge":
+                        pos_t = jnp.tile(pos, ns) if ns > 1 else pos
+                        return LOSSES["hinge"](pos_t, neg, cfg.margin)
+                    return LOSSES["xent"](pos, neg, cfg.neg_sample_weight)
+
+                return scoring
+
+            sub = jax.lax.switch(
+                branch[g], [make_branch(et) for et in edge_types], None
+            )
+            total = total + jnp.where(valid[g], sub, 0.0)
+        return total
+
+    def local_chunk(params, opt_state, graph, base_rng, branch, k, rows,
+                    cols, step_no, valid):
+        def body(carry, xs):
+            params, opt_state = carry
+            b, kk, r, c, sn, v = xs
+            rng = jax.random.fold_in(base_rng, sn)
+            loss, grads = jax.value_and_grad(slot_loss)(
+                params, graph, b, kk, r, c, v, rng
+            )
+            loss = jax.lax.psum(loss, axes)
+            if sharded_keys:
+                grads = _psum_replicated_leaves(
+                    grads, sharded_keys, axes, row_dtype=row_dtype
+                )
+            else:
+                grads = jax.lax.psum(grads, axes)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            any_v = jnp.any(v)
+            keep = lambda n, o: jnp.where(any_v, n, o)
+            params = jax.tree_util.tree_map(keep, new_params, params)
+            opt_state = jax.tree_util.tree_map(keep, new_opt, opt_state)
+            return (params, opt_state), jnp.where(any_v, loss, jnp.nan)
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (branch, k, rows, cols, step_no, valid)
+        )
+        return params, opt_state, losses
+
+    sharded_chunk = jax.shard_map(
+        local_chunk,
+        mesh=mesh,
+        in_specs=(
+            p_specs, opt_specs, g_specs, P(),
+            P(), P(), P(None, None, axes), P(None, None, axes), P(), P(),
+        ),
+        out_specs=(p_specs, opt_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded_chunk, donate_argnums=(0, 1))

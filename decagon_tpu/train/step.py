@@ -76,8 +76,9 @@ class TrainConfig:
     # edge visits; the G losses sum into one Adam update (Adam is
     # invariant to the gradient's scale, but the step count per epoch
     # drops — validated on the mid-scale config in
-    # artifacts/quality/schedule_ablation.json).  Requires scan_chunk>0;
-    # single-chip only.
+    # artifacts/quality/schedule_ablation.json).  Requires scan_chunk>0.
+    # On a mesh the grouped step also runs the boundary exchange once
+    # per G batches (parallel.make_sharded_grouped_chunked_train_step).
     relation_group: int = 1
     # Storage dtype for Adam's m/v moments: "bfloat16" halves their
     # HBM traffic in the (memory-bound) optimizer pass; the update

@@ -72,11 +72,6 @@ class Trainer:
             schedule=getattr(config, "schedule", "reference"),
         )
         self.group = max(1, getattr(config, "relation_group", 1))
-        if self.group > 1 and mesh is not None:
-            raise ValueError(
-                "relation_group > 1 is single-chip only (the sharded "
-                "chunked step does not implement grouped scoring yet)"
-            )
         if self.group > 1 and config.scan_chunk <= 0:
             raise ValueError("relation_group > 1 requires scan_chunk > 0")
         if mesh is not None:
@@ -303,7 +298,17 @@ class Trainer:
         and materialize losses only when they read them).  Loss traces
         match ``train_batch`` exactly (same per-step RNG stream)."""
         if self._chunk_fn is None:
-            if self.mesh is not None:
+            if self.mesh is not None and self.group > 1:
+                from decagon_tpu.parallel.sharded import (
+                    make_sharded_grouped_chunked_train_step,
+                )
+
+                self._chunk_fn = make_sharded_grouped_chunked_train_step(
+                    self.model, self.config, self.optimizer, self.mesh,
+                    self.device_graph,
+                    shard_weights=self.shard_weights,
+                )
+            elif self.mesh is not None:
                 from decagon_tpu.parallel.sharded import (
                     make_sharded_chunked_train_step,
                 )

@@ -555,3 +555,25 @@ def test_mesh_trainer_large_hidden(world):
     batches = list(trainer.scheduler.epoch())[:2]
     losses = np.asarray(trainer.train_chunk(batches, 2))
     assert np.all(np.isfinite(losses))
+
+
+def test_mesh_trainer_grouped_step(world):
+    """relation_group > 1 on a mesh: G relation-batches share one
+    sharded encoder forward per optimization step (one boundary
+    exchange per G batches); trains finite and learns."""
+    from decagon_tpu.train.trainer import Trainer
+
+    graph, splits, device_graph, model, params = world
+    cfg = TrainConfig(
+        batch_size=64, learning_rate=1e-2, scan_chunk=3,
+        schedule="balanced", relation_group=2,
+    )
+    trainer = Trainer(
+        model, graph, splits, device_graph, cfg, seed=0,
+        mesh=make_mesh(shape=(2, 4)),
+    )
+    losses = []
+    trainer.iteration_hook = lambda t, r: losses.append(r.loss)
+    trainer.train(num_epochs=4)
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
