@@ -87,7 +87,10 @@ def main():
         densify_max_cells=1_000_000_000,
         dense_dtype=jnp.bfloat16,
         build_fused=False,
+        dense_factored=True,
     )
+    # "auto" on TPU resolves to the int8 factored stacks (round 4);
+    # the artifact profiles the production dispatch.
     model = DecagonModel(ModelConfig(spmm_impl="auto"), dg)
     cfg = TrainConfig(batch_size=512)
     optimizer = make_optimizer(cfg)
