@@ -80,6 +80,7 @@ class Config:
             spmm_impl=str(self.get("SpmmImpl", "auto")),
             spmm_precision=str(self.get("SpmmPrecision", "highest")),
             sddmm_impl=str(self.get("SddmmImpl", "auto")),
+            remat=bool(self.get("Remat", False)),
         )
 
     def train_config(self) -> TrainConfig:

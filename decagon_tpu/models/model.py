@@ -52,6 +52,11 @@ class ModelConfig:
     # one-hot gathers are lossless) or "default" (bf16 single-pass,
     # ~6x less MXU work, ~1e-2 relative score error).
     sddmm_precision: str = "highest"
+    # Rematerialize the encoder in the backward pass (jax.checkpoint):
+    # drops the [K, N, H] projected-stack residuals — the largest
+    # training-time liveness at big graph sizes — for ~1 extra forward.
+    # Extends the trainable-size envelope (see sparse_regime_bench).
+    remat: bool = False
 
 
 class DecagonModel:
@@ -91,17 +96,29 @@ class DecagonModel:
         deterministic: bool = True,
         axis_name: Optional[str] = None,
     ) -> Dict[str, jax.Array]:
-        return encode(
-            params,
-            graph,
-            rng,
-            dropout_rate=self.config.dropout,
-            deterministic=deterministic,
-            spmm_impl=self.config.spmm_impl,
-            per_relation_dropout_max=self.config.per_relation_dropout_max,
-            axis_name=axis_name,
-            spmm_precision=self.config.spmm_precision,
-        )
+        def _encode(params, graph, rng):
+            return encode(
+                params,
+                graph,
+                rng,
+                dropout_rate=self.config.dropout,
+                deterministic=deterministic,
+                spmm_impl=self.config.spmm_impl,
+                per_relation_dropout_max=self.config.per_relation_dropout_max,
+                axis_name=axis_name,
+                spmm_precision=self.config.spmm_precision,
+            )
+
+        if getattr(self.config, "remat", False) and not deterministic:
+            # Rematerialize the encoder in the backward pass: residuals
+            # (the per-relation projected stacks — [K, N_j, H] at every
+            # layer) are the largest training-time liveness at big graph
+            # sizes, and dropping them trades ~1 extra forward for the
+            # headroom that makes beyond-HBM configs trainable (e.g.
+            # the 2500-drug sparse-regime config misses by ~0.5 GB
+            # without this — sparse_regime_bench.json).
+            return jax.checkpoint(_encode)(params, graph, rng)
+        return _encode(params, graph, rng)
 
     def score_edges(
         self,

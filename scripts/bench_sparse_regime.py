@@ -16,7 +16,9 @@ scale (19081 proteins):
   [E, H] message array + residuals); the tiled kernel is the only
   viable implementation and its throughput is recorded.
 * ``xla_infeasible`` (2500 drugs, ~8M dd edges): same, further out
-  (dense stack would be 22.4 GB; XLA needs 21.8 G).
+  (dense stack would be 22.4 GB; XLA needs 21.8 G); the kernel trains
+  at 492 ms/step, and the ``remat=True`` variant shows the
+  memory/compute trade that extends the envelope beyond even that.
 
 Writes artifacts/perf/sparse_regime_bench.json (referenced by
 bench.py's output as ``sparse_regime_ref``).
@@ -77,7 +79,7 @@ def steady_ms(trainer, chunk=10, windows=4):
     return min(times) * 1e3
 
 
-def run_config(n_drugs, dd_edges, impls, chunk=10):
+def run_config(n_drugs, dd_edges, impls, chunk=10, share_state=True):
     build_t0 = time.perf_counter()
     graph = make_polypharmacy_like_graph(
         n_proteins=19081, n_drugs=n_drugs, n_side_effects=963,
@@ -109,11 +111,13 @@ def run_config(n_drugs, dd_edges, impls, chunk=10):
     }
     cfg = TrainConfig(batch_size=512, learning_rate=1e-3, scan_chunk=chunk)
     shared_state = None
-    for tag, impl, precision in impls:
+    for spec in impls:
+        tag, impl, precision = spec[:3]
+        extra = spec[3] if len(spec) > 3 else {}
         model = DecagonModel(
             ModelConfig(
                 hidden1=64, hidden2=32, dropout=0.1,
-                spmm_impl=impl, spmm_precision=precision,
+                spmm_impl=impl, spmm_precision=precision, **extra,
             ),
             dg,
         )
@@ -123,7 +127,10 @@ def run_config(n_drugs, dd_edges, impls, chunk=10):
                 init_state=None if shared_state is None
                 else jax.tree.map(jnp.copy, shared_state),
             )
-            if shared_state is None:
+            if share_state and shared_state is None:
+                # Identical start params across impls — costs a full
+                # state-tree copy in HBM (~3.7 GB at 2500 drugs), so
+                # the memory-critical config opts out.
                 shared_state = jax.tree.map(
                     jnp.copy, trainer.state_dict()
                 )
@@ -163,13 +170,16 @@ def main():
             h["xla"]["ms_per_step_min"]
             / h["pallas_bf16"]["ms_per_step_min"], 2
         )
-    # The kernel misses HBM by 454 MB here (fwd residuals + the
-    # lane-padded bf16 source table) — recorded honestly; the xla OOM
-    # is structural (21.8 G needed).
+    # Without remat the kernel misses HBM by 454 MB here (fwd
+    # residuals); encoder rematerialization (ModelConfig.remat) drops
+    # them and makes the config trainable — the xla OOM is structural
+    # (21.8 G needed) and remat cannot save it.
     out["xla_infeasible"] = run_config(
         2500, 8_000_000,
         [("xla", "xla", "highest"),
-         ("pallas_bf16", "pallas", "default")],
+         ("pallas_bf16", "pallas", "default"),
+         ("pallas_bf16_remat", "pallas", "default", {"remat": True})],
+        share_state=False,
     )
     # Summary fields bench.py lifts into its output.
     out["workload"] = out["paper_cap"]["workload"]
