@@ -219,11 +219,19 @@ def fused_adam_apply(
                 interpret=interpret,
             )
         else:
-            m2 = b1 * m + (1.0 - b1) * g
-            v2 = b2 * v + (1.0 - b2) * (g * g)
+            # Mirror fused_adam's arithmetic exactly: decay in fp32 and
+            # cast m/v back to their STORAGE dtype — with bf16 moments the
+            # raw chain would silently promote the carried moments to f32
+            # (dtype-changing scan carries / doubled moment memory) and
+            # run the decay multiply in bf16 (ADVICE r4, medium).
+            store = m.dtype
+            m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+            v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
             p2 = p + (-learning_rate) * (s1 * m2) / (
                 jnp.sqrt(s2 * v2) + eps
             )
+            m2 = m2.astype(store)
+            v2 = v2.astype(store)
         new_m.append(m2)
         new_v.append(v2)
         new_p.append(p2)

@@ -96,9 +96,12 @@ class MinibatchScheduler:
             yield batch
 
     def _epoch_balanced(self) -> Iterator[Minibatch]:
-        """One epoch = every relation's full batches once, globally
-        shuffled (tiny relations emit one wrap-padded batch, as in the
-        reference schedule)."""
+        """One epoch = EVERY relation's train edges at least once, in
+        fixed-size batches, globally shuffled: full batches plus one
+        wrap-padded tail batch when ``n % batch_size != 0`` (tiny
+        relations reduce to a single wrap-padded batch, as in the
+        reference schedule).  Wrap padding revisits a few head edges
+        rather than dropping the tail (ADVICE r4)."""
         slots: List[Tuple[int, np.ndarray]] = []
         for idx, key in enumerate(self.keys):
             perm = self.rng.permutation(self.train_edges[key].shape[0])
@@ -113,8 +116,14 @@ class MinibatchScheduler:
                     (idx, np.tile(edges, (reps, 1))[: self.batch_size])
                 )
                 continue
-            for start in range(0, n - self.batch_size + 1, self.batch_size):
+            full_end = (n // self.batch_size) * self.batch_size
+            for start in range(0, full_end, self.batch_size):
                 slots.append((idx, edges[start : start + self.batch_size]))
+            if full_end < n:
+                tail = np.concatenate(
+                    [edges[full_end:], edges[: self.batch_size - (n - full_end)]]
+                )
+                slots.append((idx, tail))
         order = self.rng.permutation(len(slots))
         for slot in order:
             idx, batch = slots[slot]
@@ -146,7 +155,7 @@ class MinibatchScheduler:
         epoch (see ``_next``), so they count as 1 here."""
         if self.schedule == "balanced":
             return sum(
-                max(n // self.batch_size, 1 if n else 0)
+                -(-n // self.batch_size) if n else 0
                 for n in (
                     self.train_edges[key].shape[0] for key in self.keys
                 )

@@ -80,11 +80,12 @@ class TrainConfig:
     # On a mesh the grouped step also runs the boundary exchange once
     # per G batches (parallel.make_sharded_grouped_chunked_train_step).
     relation_group: int = 1
-    # Storage dtype for Adam's m/v moments: "bfloat16" halves their
-    # HBM traffic in the (memory-bound) optimizer pass; the update
+    # Storage dtype for Adam's m/v moments: "bfloat16" (default) halves
+    # their HBM traffic in the (memory-bound) optimizer pass; the update
     # arithmetic stays fp32.  Quality-validated on the mid-scale config
-    # (artifacts/quality/adam_bf16_moments.json).
-    adam_moments_dtype: str = "float32"
+    # (artifacts/quality/adam_bf16_moments.json); set "float32" for
+    # bit-exact optax.adam parity.
+    adam_moments_dtype: str = "bfloat16"
     # TF1 parity knob: the reference's Adam applies SPARSE (lazy) moment
     # updates to decoder rows reached through tf.gather — rows of
     # relations not trained this step keep their momentum instead of
@@ -156,9 +157,16 @@ def _lazy_rows_adam(
     return optax.GradientTransformation(init, update)
 
 
+# TF1 AdamOptimizer defaults (reference optimizer.py:111-114) — the ONE
+# place they live; make_optimizer and apply_optimizer both read these so
+# the two code paths cannot silently diverge (ADVICE r4).
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    # TF1 AdamOptimizer defaults: b1=0.9, b2=0.999, eps=1e-8
-    # (reference optimizer.py:111-114).  fused_adam keeps every leaf in
+    # fused_adam keeps every leaf in
     # its natural TPU layout and runs the whole update as one elementwise
     # pass per leaf; the round-2 optax.flatten variant RELAYOUTED the
     # padded weight stacks into a flat vector each step, which cost ~20
@@ -172,12 +180,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         else None
     )
     adam = fused_adam(
-        cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+        cfg.learning_rate, b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS,
         moments_dtype=moments,
     )
     if not cfg.lazy_decoder_adam:
         return adam
-    lazy = _lazy_rows_adam(cfg.learning_rate, 0.9, 0.999, 1e-8)
+    lazy = _lazy_rows_adam(cfg.learning_rate, ADAM_B1, ADAM_B2, ADAM_EPS)
     return optax.multi_transform(
         {"enc": adam, "dec": lazy},
         lambda params: {
@@ -191,7 +199,10 @@ def apply_optimizer(optimizer, cfg: TrainConfig, grads, opt_state, params):
     single-chip path (one HBM pass per big leaf), the optax contract
     otherwise.  Bit-identical math (tests/test_optim.py)."""
     if (
-        getattr(cfg, "pallas_adam", True)
+        # Default False: the Pallas variant measured SLOWER at paper
+        # scale (ops/optim.py negative result) — the opt-in must stay
+        # opt-in for duck-typed cfg objects lacking the field (ADVICE r4).
+        getattr(cfg, "pallas_adam", False)
         and not cfg.lazy_decoder_adam
         and jax.default_backend() == "tpu"
         and isinstance(opt_state, dict)
@@ -200,7 +211,8 @@ def apply_optimizer(optimizer, cfg: TrainConfig, grads, opt_state, params):
         from decagon_tpu.ops.optim import fused_adam_apply
 
         return fused_adam_apply(
-            grads, opt_state, params, cfg.learning_rate
+            grads, opt_state, params, cfg.learning_rate,
+            b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS,
         )
     updates, opt_state = optimizer.update(grads, opt_state, params)
     return optax.apply_updates(params, updates), opt_state

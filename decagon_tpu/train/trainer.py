@@ -133,6 +133,9 @@ class Trainer:
             self.params = init_state["params"]
             self.opt_state = init_state["opt_state"]
             self.global_step = int(init_state.get("global_step", 0))
+            self.opt_step = int(
+                init_state.get("opt_step", self.global_step // self.group)
+            )
         else:
             # ONE compiled dispatch for the whole init: eager per-tensor
             # glorot draws would cost a compile round-trip each on
@@ -144,6 +147,12 @@ class Trainer:
 
             self.params, self.opt_state = _init(init_rng)
             self.global_step = 0
+            # Optimization-step counter, distinct from the batch counter:
+            # grouped mode consumes one RNG step_no per SLOT (G batches),
+            # so deriving it as global_step // G would repeat a step_no —
+            # and with it the dropout mask and negative draws — whenever
+            # an epoch's batch count is not a multiple of G (ADVICE r4).
+            self.opt_step = 0
         if mesh is not None:
             # Commit state to the mesh up front: the sharded step's
             # outputs carry NamedShardings, so without this the second
@@ -231,6 +240,7 @@ class Trainer:
             "params": params,
             "opt_state": opt_state,
             "global_step": self.global_step,
+            "opt_step": self.opt_step,
         }
 
     def load_state_dict(self, state: Dict) -> None:
@@ -261,6 +271,9 @@ class Trainer:
         self.params = params
         self.opt_state = opt_state
         self.global_step = int(state["global_step"])
+        self.opt_step = int(
+            state.get("opt_step", self.global_step // self.group)
+        )
 
     def try_resume(self, checkpointer) -> bool:
         """Restore the latest checkpoint if one exists; returns whether a
@@ -287,6 +300,7 @@ class Trainer:
             np.int32(self.global_step),
         )
         self.global_step += 1
+        self.opt_step += 1
         return loss
 
     def train_chunk(self, batches: list, chunk_size: int) -> jax.Array:
@@ -348,7 +362,7 @@ class Trainer:
             cols = np.zeros((chunk_size, g, b), np.int32)
             step_no = np.zeros(chunk_size, np.int32)
             valid = np.zeros((chunk_size, g), bool)
-            slot0 = self.global_step // g
+            slot0 = self.opt_step
             for j, batch in enumerate(batches):
                 s, gg = divmod(j, g)
                 branch[s, gg] = self._branch_idx[batch.edge_type]
@@ -364,6 +378,7 @@ class Trainer:
                 jnp.asarray(step_no), jnp.asarray(valid),
             )
             self.global_step += n
+            self.opt_step += -(-n // g)
             return losses[: -(-n // g)]
         branch = np.zeros(chunk_size, np.int32)
         ks = np.zeros(chunk_size, np.int32)
@@ -384,6 +399,7 @@ class Trainer:
             jnp.asarray(cols), jnp.asarray(step_no), jnp.asarray(valid),
         )
         self.global_step += n
+        self.opt_step += n
         return losses[:n]
 
     def _train_epoch_scanned(self, epoch: int, chunk_size: int) -> None:

@@ -213,9 +213,9 @@ def test_neg_sample_size_fanout(small_world):
 
 
 def test_balanced_schedule_exact_coverage():
-    """schedule='balanced': one epoch visits every relation's full
-    batches exactly once (tiny relations wrap-pad to one batch), count
-    matches num_batches_per_epoch exactly."""
+    """schedule='balanced': one epoch visits EVERY train edge of every
+    relation (full batches + one wrap-padded tail batch; tiny relations
+    wrap-pad to one batch), count matches num_batches_per_epoch."""
     from collections import Counter
 
     import numpy as np
@@ -235,10 +235,19 @@ def test_balanced_schedule_exact_coverage():
         batches = list(sch.epoch())
         assert len(batches) == sch.num_batches_per_epoch()
         per_rel = Counter((b.edge_type, b.k) for b in batches)
+        seen = {}
+        for b in batches:
+            seen.setdefault((b.edge_type, b.k), set()).update(
+                zip(b.rows.tolist(), b.cols.tolist())
+            )
         for key in graph.relation_keys():
             n = splits[key].train.shape[0]
-            want = max(n // 64, 1 if n else 0)
+            want = -(-n // 64) if n else 0
             assert per_rel[(key[:2], key[2])] == want, key
+            if n:
+                # every train edge visited at least once per epoch
+                edges = set(map(tuple, splits[key].train.tolist()))
+                assert edges <= seen[(key[:2], key[2])], key
 
 
 def test_grouped_step_trains_and_counts_steps():
