@@ -56,6 +56,56 @@ def _scatter_dense(rel, receivers, senders, vals, k, n_i, n_j, dtype):
     return dense.at[rel, receivers, senders].add(vals.astype(dtype))
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _scatter_pair_mask(rel, receivers, senders, vals, k_half, k_pad, n_pad):
+    """int8 [k_pad, n_pad, n_pad] edge-count mask of the DIRECT half
+    (rel < k_half) of a transpose-augmented COO stream."""
+    ones = ((vals != 0) & (rel < k_half)).astype(jnp.int8)
+    mask = jnp.zeros((k_pad, n_pad, n_pad), jnp.int8)
+    return mask.at[rel, receivers, senders].add(ones)
+
+
+def _recover_rank1(splits, keys, n_i, n_j):
+    """Per-relation rank-1 normalization factors for an edge type's
+    relations, verified against the stored adjacency values: returns
+    (row_scale [K, n_i], col_scale [K, n_j]) or None if any relation's
+    normalization is not exactly rank-1 (``normalize.py``: square rule
+    uses ONE degree vector; rect uses row/col degrees)."""
+    row_scale = np.zeros((len(keys), n_i), np.float32)
+    col_scale = np.zeros((len(keys), n_j), np.float32)
+
+    def _dinv(counts):
+        with np.errstate(divide="ignore"):
+            v = np.power(counts.astype(np.float64), -0.5)
+        v[~np.isfinite(v)] = 0.0
+        return v
+
+    for k, key in enumerate(keys):
+        split = splits[key]
+        r_k, c_k, v_k = split.adj_rows, split.adj_cols, split.adj_vals
+        dr = _dinv(np.bincount(r_k, minlength=n_i))
+        dc = _dinv(np.bincount(c_k, minlength=n_j))
+        # Candidate factor pairs: the square rule keys ONE degree vector
+        # off the a_rows side — which lands on the OUTPUT cols for a
+        # direct relation and the output rows for its transpose
+        # (normalize_square's (A+I)^T flip); the rect rule uses both
+        # sides.  Accept whichever verifies.
+        candidates = [(dr, dc)]
+        if n_i == n_j:
+            candidates = [(dc, dc), (dr, dr), (dr, dc)]
+        for a_vec, b_vec in candidates:
+            if np.allclose(
+                v_k, (a_vec[r_k] * b_vec[c_k]).astype(np.float32),
+                rtol=1e-5, atol=1e-7,
+            ):
+                row_scale[k] = a_vec
+                col_scale[k] = b_vec
+                break
+        else:
+            return None
+    return row_scale, col_scale
+
+
 def _np_dense_dtype(dtype):
     """Host dtype for the dense stacks (bf16 via ml_dtypes)."""
     if dtype in (jnp.bfloat16, "bf16", "bfloat16"):
@@ -105,6 +155,21 @@ class EdgeTypeAdj:
     dense_mask_t: Optional[jax.Array] = None
     row_scale: Optional[jax.Array] = None  # f32 [K, n_rows]
     col_scale: Optional[jax.Array] = None  # f32 [K, n_cols]
+    # Optional PAIRED factored form (``build_device_graph(...,
+    # dense_paired=True)``, square transpose-augmented edge types only):
+    # relation K+k's train adjacency is relation k's transpose (the
+    # flipped-split invariant, graph/split.py; reference minibatch.py:
+    # 143-149), so only the DIRECT half's int8 masks are stored and the
+    # Pallas paired kernel (``ops.spmm_paired``) runs both halves off
+    # one read — half the mask bytes AND half the mask traffic of the
+    # dense_mask/dense_mask_t pair.  ``pair_mask``: int8 [K_pad, Np, Np]
+    # (k-padded to the kernel block, N padded to the 2D block for big
+    # N); ``pair_scales``: f32 [K_pad, 2, Np] (row 0 = direct half's
+    # row scale, row 1 = transposed half's); ``pair_col``: f32 [2K, N]
+    # col scales in relation order (folded into the projected stack).
+    pair_mask: Optional[jax.Array] = None
+    pair_scales: Optional[jax.Array] = None
+    pair_col: Optional[jax.Array] = None
 
     @property
     def num_edges_padded(self) -> int:
@@ -192,6 +257,7 @@ def build_device_graph(
     tile_even_if_dense: bool = False,
     build_fused: bool = True,
     dense_factored: bool = False,
+    dense_paired: bool = False,
 ) -> DeviceGraph:
     """Flatten normalized train adjacencies and sampling CDFs onto device.
 
@@ -269,59 +335,71 @@ def build_device_graph(
                 dense = jnp.asarray(dense_np)
                 del dense_np
 
-        dense_mask = dense_mask_t = row_scale_dev = col_scale_dev = None
-        if dense_factored and len(rels) * n_i * n_j <= densify_max_cells:
-            # Recover the rank-1 normalization factors per relation
-            # (normalize.py: square rule uses ONE degree vector indexed
-            # by the output-column side; rect uses row/col degrees) and
-            # verify them against the stored values — any mismatch
-            # (degenerate normalization) disables the factored form for
-            # this edge type.
-            row_scale_np = np.zeros((len(rels), n_i), np.float32)
-            col_scale_np = np.zeros((len(rels), n_j), np.float32)
-            ok = True
-            def _dinv(counts):
-                with np.errstate(divide="ignore"):
-                    v = np.power(counts.astype(np.float64), -0.5)
-                v[~np.isfinite(v)] = 0.0
-                return v
+        rel_keys = [(i, j, k) for k in range(len(rels))]
+        factors = None
+        if (dense_factored or dense_paired) and (
+            len(rels) * n_i * n_j <= densify_max_cells * 2
+        ):
+            factors = _recover_rank1(splits, rel_keys, n_i, n_j)
 
-            for k in range(len(rels)):
-                split = splits[(i, j, k)]
-                r_k, c_k, v_k = split.adj_rows, split.adj_cols, split.adj_vals
-                dr = _dinv(np.bincount(r_k, minlength=n_i))
-                dc = _dinv(np.bincount(c_k, minlength=n_j))
-                # Candidate factor pairs: the square rule keys ONE degree
-                # vector off the a_rows side — which lands on the OUTPUT
-                # cols for a direct relation and the output rows for its
-                # transpose (normalize_square's (A+I)^T flip); the rect
-                # rule uses both sides.  Accept whichever verifies.
-                candidates = [(dr, dc)]
-                if n_i == n_j:
-                    candidates = [(dc, dc), (dr, dr), (dr, dc)]
-                for a_vec, b_vec in candidates:
-                    if np.allclose(
-                        v_k, (a_vec[r_k] * b_vec[c_k]).astype(np.float32),
-                        rtol=1e-5, atol=1e-7,
-                    ):
-                        row_scale_np[k] = a_vec
-                        col_scale_np[k] = b_vec
-                        break
-                else:
-                    ok = False
-                    break
-            if ok:
-                ones = (vals_dev != 0).astype(jnp.int8)
-                dense_mask = (
-                    jnp.zeros((len(rels), n_i, n_j), jnp.int8)
-                    .at[rel_dev, receivers_dev, senders_dev].add(ones)
-                )
-                dense_mask_t = (
-                    jnp.zeros((len(rels), n_j, n_i), jnp.int8)
-                    .at[rel_dev, senders_dev, receivers_dev].add(ones)
-                )
-                row_scale_dev = jnp.asarray(row_scale_np)
-                col_scale_dev = jnp.asarray(col_scale_np)
+        dense_mask = dense_mask_t = row_scale_dev = col_scale_dev = None
+        if (
+            dense_factored
+            and len(rels) * n_i * n_j <= densify_max_cells
+            and factors is not None
+        ):
+            row_scale_np, col_scale_np = factors
+            ones = (vals_dev != 0).astype(jnp.int8)
+            dense_mask = (
+                jnp.zeros((len(rels), n_i, n_j), jnp.int8)
+                .at[rel_dev, receivers_dev, senders_dev].add(ones)
+            )
+            dense_mask_t = (
+                jnp.zeros((len(rels), n_j, n_i), jnp.int8)
+                .at[rel_dev, senders_dev, receivers_dev].add(ones)
+            )
+            row_scale_dev = jnp.asarray(row_scale_np)
+            col_scale_dev = jnp.asarray(col_scale_np)
+
+        # PAIRED form: square transpose-augmented edge types whose second
+        # half is exactly the first half's transposes — store only the
+        # direct half's int8 masks (ops/spmm_paired.py runs both halves
+        # off one read).  The mask stack may be up to 2x densify_max_cells
+        # in LOGICAL cells since only half is materialized.
+        pair_mask = pair_scales = pair_col = None
+        is_paired = (
+            dense_paired
+            and i == j
+            and len(rels) % 2 == 0
+            and len(rels) > 0
+            and factors is not None
+            and all(
+                rels[len(rels) // 2 + k].transpose_of == (i, j, k)
+                for k in range(len(rels) // 2)
+            )
+            and len(rels) * n_i * n_j <= densify_max_cells * 2
+        )
+        if is_paired:
+            from decagon_tpu.ops import spmm_paired as sp_mod
+
+            row_scale_np, col_scale_np = factors
+            k_half = len(rels) // 2
+            kb = sp_mod.default_kb(k_half, n_i)
+            k_pad = _round_up(k_half, kb)
+            n_pad = (
+                n_i
+                if n_i <= sp_mod.BIG_N_THRESHOLD
+                else _round_up(n_i, sp_mod.BIG_BLOCK)
+            )
+            pair_mask = _scatter_pair_mask(
+                rel_dev, receivers_dev, senders_dev, vals_dev,
+                k_half, k_pad, n_pad,
+            )
+            ps = np.zeros((k_pad, 2, n_pad), np.float32)
+            ps[:k_half, 0, :n_i] = row_scale_np[:k_half]
+            ps[:k_half, 1, :n_i] = row_scale_np[k_half:]
+            pair_scales = jnp.asarray(ps)
+            pair_col = jnp.asarray(col_scale_np)
 
         tiles_fwd = tiles_bwd = None
         if tile_for_pallas and (dense is None or tile_even_if_dense):
@@ -359,6 +437,9 @@ def build_device_graph(
             dense_mask_t=dense_mask_t,
             row_scale=row_scale_dev,
             col_scale=col_scale_dev,
+            pair_mask=pair_mask,
+            pair_scales=pair_scales,
+            pair_col=pair_col,
         )
 
         # Negative-sampling CDFs: relation (i,j,k) draws row-type-i nodes

@@ -71,7 +71,8 @@ class DecagonModel:
     def init_params(self, rng: jax.Array, graph: DeviceGraph) -> Params:
         enc_rng, dec_rng = jax.random.split(rng)
         params = init_encoder_params(
-            enc_rng, graph, self.config.hidden1, self.config.hidden2
+            enc_rng, graph, self.config.hidden1, self.config.hidden2,
+            spmm_impl=self.config.spmm_impl,
         )
         dec_params: Dict[str, Dict[str, jax.Array]] = {}
         for et in graph.edge_types:
