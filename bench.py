@@ -163,6 +163,7 @@ def bench_fullscale() -> dict:
         tile_even_if_dense=on_accel,
         build_fused=False,  # the fused stream isn't used at this scale
         dense_factored=on_accel,  # int8 mask + rank-1 scales (r4)
+        dense_paired=on_accel,  # paired half-stacks + kernels (r5)
     )
     build_s = time.perf_counter() - build_t0
     _progress(f"full-scale device graph built ({build_s:.0f}s); compiling dense trainer")
@@ -224,7 +225,39 @@ def bench_fullscale() -> dict:
         )
         fact["vs_dense"] = round(t_fact["min_ms"] / t_dense["min_ms"], 2)
         out["full_factored_int8"] = fact
-        _progress("factored timed; compiling pallas trainer")
+        _progress("factored timed")
+    if on_accel and any(
+        a.pair_mask is not None for a in device_graph.adj.values()
+    ):
+        # PAIRED kernels (round 5): one pass over HALF the int8 masks
+        # serves both transpose halves; dropout/scales/casts fused in
+        # kernel; transposed [2, K, H, F] weight layout.  This is what
+        # "auto" dispatches to in production.
+        _progress("compiling paired trainer")
+        pair_gb = sum(
+            a.pair_mask.size
+            for a in device_graph.adj.values()
+            if a.pair_mask is not None
+        ) / 2**30
+        model_pair = DecagonModel(
+            ModelConfig(
+                hidden1=64, hidden2=32, dropout=0.1, spmm_impl="paired",
+            ),
+            device_graph,
+        )
+        trainer_pr = Trainer(
+            model_pair, graph, splits, device_graph, cfg, seed=0,
+        )
+        t_pair = _steady_state_ms(trainer_pr, 20, windows=5)
+        pair = _config_metrics(nnz, t_pair)
+        pair["pair_mask_gb"] = round(pair_gb, 2)
+        # 4 passes/step over the HALF stacks (fwd x2 layers, bwd x2).
+        pair["hbm_util"] = round(
+            4 * pair_gb / (t_pair["min_ms"] / 1e3) / HBM_PEAK_GBPS, 3
+        )
+        pair["vs_dense"] = round(t_pair["min_ms"] / t_dense["min_ms"], 2)
+        out["full_paired_int8"] = pair
+        _progress("paired timed; compiling pallas trainer")
     else:
         _progress("compiling pallas trainer")
 
@@ -303,14 +336,15 @@ def main() -> None:
     full = bench_fullscale()
     _progress("full-scale done")
 
-    # Headline = the production dispatch: the int8 factored stack when
-    # built (what "auto" resolves to on TPU), else the bf16 dense stack.
-    headline = full.get("full_factored_int8") or full["full_dense_bf16"]
-    if "full_factored_int8" in full and (
-        full["full_factored_int8"]["ms_per_step_min"]
-        > full["full_dense_bf16"]["ms_per_step_min"]
-    ):
-        headline = full["full_dense_bf16"]
+    # Headline = the production dispatch: the paired half-stack kernels
+    # when built (what "auto" resolves to on TPU), else the factored /
+    # bf16 dense stacks.
+    candidates = [
+        full[k]
+        for k in ("full_paired_int8", "full_factored_int8", "full_dense_bf16")
+        if k in full
+    ]
+    headline = min(candidates, key=lambda c: c["ms_per_step_min"])
     # Companion artifact: the dense-INFEASIBLE regime (stacks >> HBM)
     # where the Pallas kernel competes with XLA segment-sum — produced
     # by scripts/bench_sparse_regime.py on the same chip.
@@ -357,9 +391,12 @@ def main() -> None:
                 "note": (
                     "headline = 963-relation/19081-protein/12.1M-edge "
                     "polypharmacy-scale train step (fwd+bwd+Adam) through "
-                    "the production dispatch (int8 factored stacks when "
-                    "built, else bf16 dense); hbm_roofline_fraction = "
-                    "stack bytes x 4 passes / step time vs 819 GB/s; "
+                    "the production dispatch (round 5: paired half-mask "
+                    "Pallas kernels when built, else int8 factored "
+                    "stacks, else bf16 dense); hbm_roofline_fraction = "
+                    "stack bytes x 4 passes / step time vs 819 GB/s "
+                    "(per-op attribution: artifacts/perf/"
+                    "paired_op_profile.json); "
                     "full_pallas_* = same workload through the tiled "
                     "Pallas kernel; sparse_regime_ref = the "
                     "dense-INFEASIBLE config (stacks >> HBM) where the "

@@ -164,12 +164,11 @@ class EdgeTypeAdj:
     # one read — half the mask bytes AND half the mask traffic of the
     # dense_mask/dense_mask_t pair.  ``pair_mask``: int8 [K_pad, Np, Np]
     # (k-padded to the kernel block, N padded to the 2D block for big
-    # N); ``pair_scales``: f32 [K_pad, 2, Np] (row 0 = direct half's
-    # row scale, row 1 = transposed half's); ``pair_col``: f32 [2K, N]
-    # col scales in relation order (folded into the projected stack).
+    # N); ``pair_scales``: f32 [K_pad, 4, Np] — rows (a_e, a_o, b_e,
+    # b_o): row/col scales of the direct (e) and transposed (o) halves,
+    # ALL applied inside the kernels (no separate scale/cast passes).
     pair_mask: Optional[jax.Array] = None
     pair_scales: Optional[jax.Array] = None
-    pair_col: Optional[jax.Array] = None
 
     @property
     def num_edges_padded(self) -> int:
@@ -366,7 +365,7 @@ def build_device_graph(
         # direct half's int8 masks (ops/spmm_paired.py runs both halves
         # off one read).  The mask stack may be up to 2x densify_max_cells
         # in LOGICAL cells since only half is materialized.
-        pair_mask = pair_scales = pair_col = None
+        pair_mask = pair_scales = None
         is_paired = (
             dense_paired
             and i == j
@@ -395,11 +394,12 @@ def build_device_graph(
                 rel_dev, receivers_dev, senders_dev, vals_dev,
                 k_half, k_pad, n_pad,
             )
-            ps = np.zeros((k_pad, 2, n_pad), np.float32)
+            ps = np.zeros((k_pad, 4, n_pad), np.float32)
             ps[:k_half, 0, :n_i] = row_scale_np[:k_half]
             ps[:k_half, 1, :n_i] = row_scale_np[k_half:]
+            ps[:k_half, 2, :n_i] = col_scale_np[:k_half]
+            ps[:k_half, 3, :n_i] = col_scale_np[k_half:]
             pair_scales = jnp.asarray(ps)
-            pair_col = jnp.asarray(col_scale_np)
 
         tiles_fwd = tiles_bwd = None
         if tile_for_pallas and (dense is None or tile_even_if_dense):
@@ -439,7 +439,6 @@ def build_device_graph(
             col_scale=col_scale_dev,
             pair_mask=pair_mask,
             pair_scales=pair_scales,
-            pair_col=pair_col,
         )
 
         # Negative-sampling CDFs: relation (i,j,k) draws row-type-i nodes

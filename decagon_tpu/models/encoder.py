@@ -83,13 +83,18 @@ def init_encoder_params(
         feat_dim = graph.feature_dims[et[1]]
         rng, r1, r2 = jax.random.split(rng, 3)
         if key in paired:
+            # [2, K, H, F]: the leading (half, pair) split mirrors the
+            # paired kernel's operand shape EXACTLY, so the whole
+            # project -> aggregate -> cotangent -> grad chain is
+            # reshape-free (XLA fuses the bf16 casts into the dropout /
+            # dW fusions only when no bitcast splits the chain).
             enc1[key] = glorot(
-                r1, (k_rel, hidden1, feat_dim), fan=(feat_dim, hidden1),
-                dtype=dtype,
+                r1, (2, k_rel // 2, hidden1, feat_dim),
+                fan=(feat_dim, hidden1), dtype=dtype,
             )
             enc2[key] = glorot(
-                r2, (k_rel, hidden2, hidden1), fan=(hidden1, hidden2),
-                dtype=dtype,
+                r2, (2, k_rel // 2, hidden2, hidden1),
+                fan=(hidden1, hidden2), dtype=dtype,
             )
         else:
             enc1[key] = glorot(
@@ -168,17 +173,19 @@ def _project_t(
     per_relation_dropout_max: int,
     identity_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """TRANSPOSED projection for paired edge types: P^T [K, H, N_src].
+    """TRANSPOSED projection for paired edge types: P^T [2, K, H, N].
 
-    ``weights_t``: [K, H, F] transposed weight stacks.  Same math as
-    ``_project`` (same dropout semantics); the einsum emits the
-    [K, H, N] layout the paired kernel consumes directly — no dot
-    output transpose, no 128-lane padding of the H minor dim.
-    ``identity_mask``: [K, 1, F] for identity features (per-(relation,
-    node) row mask == column mask in this layout), [K, N, F] or [N, F]
-    for dense features.
+    ``weights_t``: [2, K, H, F] transposed weight stacks (leading dim
+    = direct/transposed half).  Same math as ``_project`` (same dropout
+    semantics); the einsum emits the [.., H, N] layout the paired
+    kernel consumes directly — no dot output transpose, no 128-lane
+    padding of the H minor dim, and no reshape between the projection
+    and the kernel (a bitcast there blocks XLA's cast/select fusions).
+    ``identity_mask``: [2, K, 1, F] for identity features
+    (per-(relation, node) row mask == lane mask in this layout),
+    [2K, N, F] or [N, F] for dense features.
     """
-    num_rel = weights_t.shape[0]
+    two, num_pair = weights_t.shape[0], weights_t.shape[1]
     keep = 1.0 - rate
     if feat is None:
         if identity_mask is not None:
@@ -188,35 +195,40 @@ def _project_t(
         if deterministic or rate <= 0.0 or rng is None:
             return weights_t
         mask = jax.random.bernoulli(
-            rng, p=keep, shape=(num_rel, 1, weights_t.shape[2])
+            rng, p=keep, shape=(two, num_pair, 1, weights_t.shape[3])
         )
         return jnp.where(mask, weights_t / keep, 0.0)
     if identity_mask is not None and not deterministic and rate > 0.0:
         dropped = jnp.where(identity_mask, feat / keep, 0.0)
         if identity_mask.ndim == 3:
+            # fresh mask per relation: [2K, N, F] reshaped to pair form
+            dropped = dropped.reshape(
+                two, num_pair, *dropped.shape[1:]
+            )
             return jnp.einsum(
-                "khf,knf->khn", weights_t, dropped,
+                "skhf,sknf->skhn", weights_t, dropped,
                 preferred_element_type=jnp.float32,
             )
         return jnp.einsum(
-            "khf,nf->khn", weights_t, dropped,
+            "skhf,nf->skhn", weights_t, dropped,
             preferred_element_type=jnp.float32,
         )
     if (
         not deterministic
         and rate > 0.0
         and rng is not None
-        and num_rel <= per_relation_dropout_max
+        and 2 * num_pair <= per_relation_dropout_max
     ):
-        rngs = jax.random.split(rng, num_rel)
+        rngs = jax.random.split(rng, 2 * num_pair)
         dropped = jax.vmap(lambda r: dropout(r, feat, rate))(rngs)
+        dropped = dropped.reshape(two, num_pair, *dropped.shape[1:])
         return jnp.einsum(
-            "khf,knf->khn", weights_t, dropped,
+            "skhf,sknf->skhn", weights_t, dropped,
             preferred_element_type=jnp.float32,
         )
     x = dropout(rng, feat, rate, deterministic)
     return jnp.einsum(
-        "khf,nf->khn", weights_t, x, preferred_element_type=jnp.float32
+        "skhf,nf->skhn", weights_t, x, preferred_element_type=jnp.float32
     )
 
 
@@ -288,13 +300,13 @@ def encode(
         for et in graph.edge_types:
             key = etkey(et)
             w = params[level][key]
-            k = w.shape[0]
+            k = 2 * w.shape[1] if key in paired else w.shape[0]
             feat = inputs[str(et[1])]
             if feat is None:
                 # identity row mask: (K, F, 1) in the standard layout,
-                # (K, 1, F) against the transposed paired stacks
+                # (2, K/2, 1, F) against the paired [2, K/2, H, F] stacks
                 shape = (
-                    (k, 1, w.shape[2]) if key in paired
+                    (2, w.shape[1], 1, w.shape[3]) if key in paired
                     else (k, w.shape[1], 1)
                 )
             elif k <= per_relation_dropout_max:
@@ -328,25 +340,52 @@ def encode(
                     continue
                 key = etkey(et)
                 if key in paired:
-                    from decagon_tpu.ops.spmm_paired import spmm_paired
+                    from decagon_tpu.ops.spmm_paired import (
+                        spmm_paired,
+                        spmm_paired_identity,
+                    )
 
-                    p_t = _project_t(
-                        inputs[str(et[1])],
-                        params[level][key],
-                        _layer_rng(et, tag),
-                        dropout_rate,
-                        deterministic,
-                        per_relation_dropout_max,
-                        identity_mask=masks.get(key),
+                    pimpl = (
+                        spmm_impl
+                        if spmm_impl.startswith("paired")
+                        else "auto"
                     )
-                    agg = spmm_paired(
-                        p_t, graph.adj[key],
-                        impl=(
-                            spmm_impl
-                            if spmm_impl.startswith("paired")
-                            else "auto"
-                        ),
-                    )
+                    adj = graph.adj[key]
+                    if inputs[str(et[1])] is None:
+                        # Identity features: the kernel consumes the
+                        # raw weight stack and the per-step dropout
+                        # keep-scales directly — no projection, select,
+                        # or cast pass in XLA at all.
+                        m4 = masks.get(key)
+                        ds = None
+                        if (
+                            m4 is not None
+                            and not deterministic
+                            and dropout_rate > 0.0
+                        ):
+                            k8, _, n_pad = adj.pair_scales.shape
+                            kp, f = m4.shape[1], m4.shape[3]
+                            keep = 1.0 - dropout_rate
+                            ds = jnp.zeros((k8, 2, n_pad), jnp.float32)
+                            ds = ds.at[:kp, :, :f].set(
+                                jnp.where(
+                                    m4[:, :, 0, :], 1.0 / keep, 0.0
+                                ).transpose(1, 0, 2)
+                            )
+                        agg = spmm_paired_identity(
+                            params[level][key], ds, adj, impl=pimpl
+                        )
+                    else:
+                        p_t = _project_t(
+                            inputs[str(et[1])],
+                            params[level][key],
+                            _layer_rng(et, tag),
+                            dropout_rate,
+                            deterministic,
+                            per_relation_dropout_max,
+                            identity_mask=masks.get(key),
+                        )
+                        agg = spmm_paired(p_t, adj, impl=pimpl)
                 else:
                     p_stack = _project(
                         inputs[str(et[1])],

@@ -32,6 +32,7 @@ def fused_adam(
     b2: float = 0.999,
     eps: float = 1e-8,
     moments_dtype=None,
+    schedule=None,
 ) -> optax.GradientTransformation:
     """Drop-in ``optax.adam`` with per-leaf single-pass updates.
 
@@ -39,7 +40,12 @@ def fused_adam(
     scale the optimizer pass is HBM-bound on the m/v/p traffic, so this
     trims ~4/14 of its bytes; the decay/bias-correction arithmetic
     still runs in fp32 (quality validated on the mid-scale config:
-    artifacts/quality/adam_bf16_moments.json)."""
+    artifacts/quality/adam_bf16_moments.json).
+
+    ``schedule``: optional ``fn(t: int32 scalar) -> f32 scalar``
+    mapping the optimization-step count to the learning rate (cosine /
+    step decay; ``train.step._lr_schedule_fn``).  The scalar is traced,
+    so scheduling costs nothing per step."""
 
     def init(params):
         def zeros(p):
@@ -56,6 +62,7 @@ def fused_adam(
         del params  # update is independent of current params
         t = state["t"] + 1
         tf = t.astype(jnp.float32)
+        lr = learning_rate if schedule is None else schedule(t)
         # optax.adam's bias correction folded into scalar multipliers:
         #   upd = -lr * (m/(1-b1^t)) / (sqrt(v/(1-b2^t)) + eps)
         s1 = 1.0 / (1.0 - jnp.power(b1, tf))
@@ -63,9 +70,10 @@ def fused_adam(
 
         def one(g, m, v):
             store = m.dtype
+            g = g.astype(jnp.float32)  # bf16 grads: arithmetic in fp32
             m_new = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
             v_new = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
-            upd = (-learning_rate) * (s1 * m_new) / (
+            upd = (-lr) * (s1 * m_new) / (
                 jnp.sqrt(s2 * v_new) + eps
             )
             m_new = m_new.astype(store)
@@ -225,6 +233,7 @@ def fused_adam_apply(
             # (dtype-changing scan carries / doubled moment memory) and
             # run the decay multiply in bf16 (ADVICE r4, medium).
             store = m.dtype
+            g = g.astype(jnp.float32)
             m2 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
             v2 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g * g)
             p2 = p + (-learning_rate) * (s1 * m2) / (

@@ -34,9 +34,14 @@ chain in bf16 single-pass (fp32 accumulation): ~6x less MXU work, score
 error ~1e-2 relative — fine for AUROC ranking, selectable per call.
 
 Decoders: innerproduct, distmult (per-relation diagonal), dedicom
-(shared global ``G`` + per-relation diagonal).  Bilinear's per-relation
-full ``[d, d]`` matrices would need a 3D gather — it stays on the XLA
-path (``supports`` returns False).
+(shared global ``G`` + per-relation diagonal), and bilinear (round 5):
+the per-relation full ``[d, d]`` matrices flatten to a ``[K, d*d]``
+table gathered by the SAME one-hot matmul, and the per-edge bilinear
+form becomes ``rowsum(R_flat[e] * (zr @ E1) * (zc @ E2))`` where
+``E1[a, a*d+b] = E2[b, a*d+b] = 1`` are constant lane expanders — one
+more matmul, no 3D gather.  The flattened relation table is ``d*d``
+lanes wide, so bilinear needs more VMEM than the diagonal decoders;
+``supports`` accounts for it per precision.
 
 Forward-only by design: training scores 512-edge batches (gather cost
 ~nothing); this kernel exists for the 10^5-10^6-edge evaluation sweeps.
@@ -53,7 +58,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Decoder families this kernel supports (see module docstring).
-SUPPORTED_DECODERS = ("innerproduct", "distmult", "dedicom")
+SUPPORTED_DECODERS = ("innerproduct", "distmult", "dedicom", "bilinear")
 
 _LANES = 128
 
@@ -90,11 +95,30 @@ def _sddmm_kernel(*refs, mode: str, precision, compute_dtype):
         z_r_ref, z_c_ref, rel_ref, g_ref, ks_ref, rows_ref, cols_ref, out_ref = refs
     elif mode == "distmult":
         z_r_ref, z_c_ref, rel_ref, ks_ref, rows_ref, cols_ref, out_ref = refs
+    elif mode == "bilinear":
+        (z_r_ref, z_c_ref, relf_ref, e1_ref, e2_ref,
+         ks_ref, rows_ref, cols_ref, out_ref) = refs
     else:  # innerproduct
         z_r_ref, z_c_ref, ks_ref, rows_ref, cols_ref, out_ref = refs
 
     zr = _onehot_gather(z_r_ref[:], rows_ref[:], precision)  # [bt, L] f32
     zc = _onehot_gather(z_c_ref[:], cols_ref[:], precision)
+    if mode == "bilinear":
+        # score[e] = sum_{a,b} zr[e,a] R[k_e,a,b] zc[e,b]
+        #          = rowsum(Rflat[k_e] * (zr @ E1) * (zc @ E2))
+        rk = _onehot_gather(relf_ref[:], ks_ref[:], precision)  # [bt, d2]
+        zr_rep = jax.lax.dot_general(
+            zr.astype(compute_dtype), e1_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        zc_rep = jax.lax.dot_general(
+            zc.astype(compute_dtype), e2_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        out_ref[:] = jnp.sum(rk * zr_rep * zc_rep, axis=1, keepdims=True)
+        return
     if mode == "dedicom":
         dk = _onehot_gather(rel_ref[:], ks_ref[:], precision)
         left = jnp.dot(
@@ -127,7 +151,8 @@ def sddmm_pallas_edges(
     name: str,
     glb: Optional[jax.Array] = None,
     rel_diag: Optional[jax.Array] = None,
-    tile: int = 512,
+    rel_full: Optional[jax.Array] = None,
+    tile: int = 0,
     interpret: bool = False,
     precision: str = "highest",
 ) -> jax.Array:
@@ -152,6 +177,10 @@ def sddmm_pallas_edges(
         raise ValueError(f"feature dim {d} exceeds one lane tile ({_LANES})")
     prec = _PRECISIONS[precision]
     compute_dtype = jnp.float32 if precision == "highest" else jnp.bfloat16
+    if tile <= 0:
+        # bilinear's [tile, d*d] f32 intermediates dominate its VMEM;
+        # a half tile keeps the paper-scale footprint under budget.
+        tile = 256 if name == "bilinear" else 512
     out_shape = ks.shape
     ks = ks.reshape(-1)
     rows = rows.reshape(-1)
@@ -161,11 +190,12 @@ def sddmm_pallas_edges(
     bt = tile
     t_r = _round_up(max(z_rows.shape[0], 8), _LANES)
     t_c = _round_up(max(z_cols.shape[0], 8), _LANES)
-    t_k = (
-        _round_up(max(rel_diag.shape[0], 8), _LANES)
-        if rel_diag is not None and name != "innerproduct"
-        else 0
-    )
+    if name == "bilinear":
+        t_k = _round_up(max(rel_full.shape[0], 8), _LANES)
+    elif rel_diag is not None and name != "innerproduct":
+        t_k = _round_up(max(rel_diag.shape[0], 8), _LANES)
+    else:
+        t_k = 0
     b_pad = _round_up(max(b, 1), bt)
 
     def pad_idx(a):
@@ -183,6 +213,26 @@ def sddmm_pallas_edges(
                 compute_dtype
             )
         )
+    if name == "bilinear":
+        import numpy as _np
+
+        k_rel = rel_full.shape[0]
+        d2 = _round_up(d * d, _LANES)
+        relf = jnp.pad(
+            rel_full.reshape(k_rel, d * d),
+            ((0, t_k - k_rel), (0, d2 - d * d)),
+        ).astype(compute_dtype)
+        e1 = _np.zeros((_LANES, d2), _np.float32)
+        e2 = _np.zeros((_LANES, d2), _np.float32)
+        for a in range(d):
+            e1[a, a * d : (a + 1) * d] = 1.0
+        for bb in range(d):
+            e2[bb, bb::d][: d] = 1.0
+        tables += [
+            relf,
+            jnp.asarray(e1, compute_dtype),
+            jnp.asarray(e2, compute_dtype),
+        ]
 
     table_specs = [
         pl.BlockSpec(
@@ -191,9 +241,17 @@ def sddmm_pallas_edges(
         for tab in tables
     ]
     idx_spec = pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    # MXU flops: 2*bt*T*L per one-hot gather (+ the dedicom chain).
-    gather_flops = 2 * bt * (t_r + t_c + t_k) * _LANES
-    chain_flops = 2 * bt * _LANES * _LANES if name == "dedicom" else 0
+    # MXU flops: 2*bt*T*L per one-hot gather (+ the dedicom chain /
+    # bilinear expanders over the d*d-lane flattened relation table).
+    d2 = _round_up(d * d, _LANES)
+    if name == "bilinear":
+        gather_flops = (
+            2 * bt * (t_r + t_c) * _LANES + 2 * bt * t_k * d2
+        )
+        chain_flops = 2 * 2 * bt * _LANES * d2
+    else:
+        gather_flops = 2 * bt * (t_r + t_c + t_k) * _LANES
+        chain_flops = 2 * bt * _LANES * _LANES if name == "dedicom" else 0
     out = pl.pallas_call(
         functools.partial(
             _sddmm_kernel, mode=name, precision=prec,
@@ -219,27 +277,41 @@ def sddmm_pallas_edges(
 
 
 def supports(name: str, n_rows: int, n_cols: int, num_rel: int,
-             dim: int, max_table: int = 8192, tile: int = 512,
-             vmem_budget: int = 12 * 1024 * 1024) -> bool:
+             dim: int, max_table: int = 8192, tile: int = 0,
+             vmem_budget: int = 12 * 1024 * 1024,
+             precision: str = "highest") -> bool:
     """Static eligibility check for the kernel (see module docstring).
 
-    Bounds the fp32 ("highest") VMEM footprint: the padded tables stay
-    resident for the whole launch, and each grid step materializes three
-    ``[tile, T]`` one-hot operands plus the gathered/intermediate
-    ``[tile, 128]`` arrays.  12 MB of the ~16 MB VMEM leaves headroom for
+    Bounds the VMEM footprint at the given precision: the padded tables
+    stay resident for the whole launch, and each grid step materializes
+    three ``[tile, T]`` one-hot operands plus gathered/intermediate
+    tiles (``[tile, 128]``, or ``[tile, d*d]`` for bilinear's flattened
+    relation table).  12 MB of the ~16 MB VMEM leaves headroom for
     Mosaic's own buffers."""
     if name not in SUPPORTED_DECODERS or dim > _LANES:
         return False
+    if tile <= 0:
+        tile = 256 if name == "bilinear" else 512
+    isz = 4 if precision == "highest" else 2
     t_r = _round_up(max(n_rows, 8), _LANES)
     t_c = _round_up(max(n_cols, 8), _LANES)
     t_k = _round_up(max(num_rel, 8), _LANES) if name != "innerproduct" else 0
     if max(t_r, t_c, t_k) > max_table:
         return False
-    table_bytes = (t_r + t_c + t_k) * _LANES * 4
-    if name == "dedicom":
-        table_bytes += _LANES * _LANES * 4
-    onehot_bytes = tile * (t_r + t_c + t_k) * 4
-    intermediate_bytes = 5 * tile * _LANES * 4  # zr/zc/dk/left/right
+    if name == "bilinear":
+        d2 = _round_up(dim * dim, _LANES)
+        table_bytes = (
+            (t_r + t_c) * _LANES + t_k * d2 + 2 * _LANES * d2
+        ) * isz
+        onehot_bytes = tile * (t_r + t_c + t_k) * isz
+        # rk / zr_rep / zc_rep / product at f32 + zr/zc
+        intermediate_bytes = 4 * tile * d2 * 4 + 2 * tile * _LANES * 4
+    else:
+        table_bytes = (t_r + t_c + t_k) * _LANES * isz
+        if name == "dedicom":
+            table_bytes += _LANES * _LANES * isz
+        onehot_bytes = tile * (t_r + t_c + t_k) * isz
+        intermediate_bytes = 5 * tile * _LANES * 4  # zr/zc/dk/left/right
     idx_out_bytes = 4 * tile * 4  # three index tiles + one out tile
     return (
         table_bytes + onehot_bytes + intermediate_bytes + idx_out_bytes

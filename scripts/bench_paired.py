@@ -99,9 +99,9 @@ def main():
         two_k, n, h = adj.num_rel, adj.n_rows, 64
         k = two_k // 2
         p_t = jnp.asarray(
-            rng.standard_normal((two_k, h, n)).astype(np.float32)
+            rng.standard_normal((2, k, h, n)).astype(np.float32)
         )
-        p_s = jnp.transpose(p_t, (0, 2, 1))
+        p_s = jnp.transpose(p_t.reshape(two_k, h, n), (0, 2, 1))
         ct = jnp.asarray(rng.standard_normal((n, h)).astype(np.float32))
 
         # The adjacency is an ARGUMENT, never a closure constant: the

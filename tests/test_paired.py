@@ -45,11 +45,14 @@ def test_pair_build_detects_transpose_structure():
         assert pm[:k, :n, :n] == pytest.approx(dm[:k])
         for kk in range(k):
             np.testing.assert_array_equal(dm[k + kk], dm[kk].T)
-        # scales: row 0 = direct row scale, row 1 = transposed half's
+        # scales rows: (a_e, a_o, b_e, b_o)
         ps = np.asarray(adj.pair_scales)
         rs = np.asarray(adj.row_scale)
+        cs = np.asarray(adj.col_scale)
         np.testing.assert_allclose(ps[:k, 0, :n], rs[:k], rtol=1e-6)
         np.testing.assert_allclose(ps[:k, 1, :n], rs[k:], rtol=1e-6)
+        np.testing.assert_allclose(ps[:k, 2, :n], cs[:k], rtol=1e-6)
+        np.testing.assert_allclose(ps[:k, 3, :n], cs[k:], rtol=1e-6)
     # rectangular edge types never pair
     assert dg.adj["0,1"].pair_mask is None
 
@@ -64,8 +67,10 @@ def test_paired_ref_matches_factored():
         jnp.asarray(p), adj.dense_mask, adj.dense_mask_t,
         adj.row_scale, adj.col_scale,
     )
+    k = two_k // 2
     got = sp.spmm_paired(
-        jnp.asarray(p.transpose(0, 2, 1)), adj, impl="paired_ref"
+        jnp.asarray(p.transpose(0, 2, 1)).reshape(2, k, h, n),
+        adj, impl="paired_ref",
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
@@ -92,9 +97,12 @@ def test_paired_grad_matches_factored():
         return jnp.sum(out * ct_seed)
 
     g_fact = jax.grad(loss_fact)(jnp.asarray(p))
-    g_pair = jax.grad(loss_pair)(jnp.asarray(p.transpose(0, 2, 1)))
+    g_pair = jax.grad(loss_pair)(
+        jnp.asarray(p.transpose(0, 2, 1)).reshape(2, two_k // 2, h, n)
+    )
     np.testing.assert_allclose(
-        np.asarray(g_pair.transpose(0, 2, 1)), np.asarray(g_fact),
+        np.asarray(g_pair).reshape(two_k, h, n).transpose(0, 2, 1),
+        np.asarray(g_fact),
         rtol=3e-2, atol=3e-2,
     )
 
@@ -106,8 +114,7 @@ def test_paired_interpret_kernel_matches_ref():
     two_k, n, h = adj.num_rel, adj.n_rows, 8
     k = two_k // 2
     p = rng.standard_normal((two_k, h, n)).astype(np.float32)
-    pb = (jnp.asarray(p) * adj.pair_col[:, None, :]).astype(jnp.bfloat16)
-    p4 = pb.reshape(2, k, h, n)
+    p4 = jnp.asarray(p).reshape(2, k, h, n)
     want = sp.paired_ref(p4, adj.pair_mask, adj.pair_scales)
     got = sp._fwd_call(
         p4, adj.pair_mask, adj.pair_scales, kb=sp.default_kb(k, n),
@@ -151,8 +158,7 @@ def test_paired_big_n_blocked_kernel(monkeypatch):
     n, h = adj.n_rows, 8
     k = adj.num_rel // 2
     p = rng.standard_normal((adj.num_rel, h, n)).astype(np.float32)
-    pb = (jnp.asarray(p) * adj.pair_col[:, None, :]).astype(jnp.bfloat16)
-    p4 = pb.reshape(2, k, h, n)
+    p4 = jnp.asarray(p).reshape(2, k, h, n)
     want = sp.paired_ref(p4, adj.pair_mask, adj.pair_scales)[:, :n]
     got = sp._fwd_call(p4, adj.pair_mask, adj.pair_scales, kb=1,
                        interpret=True)[:, :n]
@@ -183,11 +189,14 @@ def test_paired_encoder_matches_plain_encoder():
     graph, splits, dg = _build(n_genes=50, n_drugs=40, n_dd=2)
     rng = jax.random.PRNGKey(0)
     params_p = init_encoder_params(rng, dg, 16, 8, spmm_impl="paired")
-    # same weights, plain layout
+    # same weights, plain layout ([2, K, H, F] -> [2K, F, H])
     params_x = {
         level: {
             key: (
-                jnp.transpose(w, (0, 2, 1))
+                jnp.transpose(
+                    w.reshape(w.shape[0] * w.shape[1], *w.shape[2:]),
+                    (0, 2, 1),
+                )
                 if key in ("0,0", "1,1")
                 else w
             )

@@ -146,3 +146,34 @@ def test_evaluator_pallas_sddmm_matches_jnp():
     assert scores["pallas_interpret"].auprc == pytest.approx(
         scores["jnp"].auprc, abs=1e-6
     )
+
+
+def test_sddmm_pallas_bilinear_parity():
+    """Bilinear (round 5): the flattened [K, d*d] one-hot gather +
+    constant lane expanders reproduce the XLA z_r @ R_k @ z_c scores."""
+    rng = np.random.default_rng(7)
+    n, k_rel, d, b = 97, 23, 32, 1000
+    z = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    rel = jnp.asarray(rng.standard_normal((k_rel, d, d)), jnp.float32)
+    ks = jnp.asarray(rng.integers(0, k_rel, b), jnp.int32)
+    rows = jnp.asarray(rng.integers(0, n, b), jnp.int32)
+    cols = jnp.asarray(rng.integers(0, n, b), jnp.int32)
+    got = sddmm_pallas_edges(
+        z, z, ks, rows, cols, name="bilinear", rel_full=rel,
+        interpret=True,
+    )
+    want = sddmm_pairs(z[rows], z[cols], glb=rel[ks])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sddmm_supports_bilinear_budgets():
+    """Paper-scale bilinear fits only at bf16 ("default") precision;
+    the diagonal decoders fit either way."""
+    assert supports("dedicom", 645, 645, 1926, 32, precision="highest")
+    assert not supports(
+        "bilinear", 645, 645, 1926, 32, precision="highest"
+    )
+    assert supports("bilinear", 645, 645, 1926, 32, precision="default")
+    assert supports("bilinear", 100, 100, 20, 16, precision="highest")
