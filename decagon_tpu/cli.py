@@ -146,6 +146,29 @@ def train_once(
         if bool(config.get("TrainWithTransposedAdjacencyMatrices", True))
         else graph
     )
+    node_perms = None
+    if bool(config.get("RenumberNodes", False)):
+        # Degree-clustered relabeling (graph/renumber.py): concentrates
+        # the Pallas SpMM kernel's source windows.  The external-id
+        # lists are permuted alongside so the held-out CSV keeps STITCH
+        # ids correct, active-learner holdouts are translated in, and
+        # npy exports restore external row order on the way out.
+        from decagon_tpu.graph.renumber import renumber_by_degree
+
+        full, node_perms = renumber_by_degree(full)
+        inv = {
+            t: np.argsort(node_perms[t]) for t in node_perms
+        }
+        protein_ids = [protein_ids[o] for o in node_perms[0]]
+        drug_ids = [drug_ids[o] for o in node_perms[1]]
+        if holdout:
+            holdout = {
+                k: {
+                    tag: inv[1][np.asarray(edges).reshape(-1, 2)]
+                    for tag, edges in h.items()
+                }
+                for k, h in holdout.items()
+            }
     splits = split_graph(
         full,
         val_frac=float(config.get("ValFraction", 0.05)),
@@ -234,6 +257,7 @@ def train_once(
             else None
         ),
         relation_names=relation_names,
+        node_perms=node_perms,
     )
 
     trainer.iteration_hook = logger.on_iteration

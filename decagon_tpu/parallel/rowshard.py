@@ -13,8 +13,11 @@ SURVEY.md §2.9/§5.8).  The mesh has two named axes:
   ``N*H`` twice — communication now scales down with the row-axis size.
   For this model family the "boundary" IS the full node set (full-batch
   GCN: layer 2 reads every layer-1 embedding), so the all-gather is the
-  minimal boundary exchange; XLA overlaps it with the next edge type's
-  gather/matmul work.
+  minimal boundary exchange.  ``encode_sharded`` issues every edge
+  type's local aggregation before anything consumes a gathered table,
+  so the exchange can overlap the next edge type's einsum — measured
+  A/B (overlap on/off via optimization_barrier chains) in
+  ``artifacts/perf/multihost_overlap.json``.
 * ``edge`` — within a row block, edges are round-robin partitioned (and
   the dense relation stacks are split over relations), so aggregation
   FLOPs scale with the axis; partial row blocks are psum-reduced over

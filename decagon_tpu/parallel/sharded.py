@@ -191,6 +191,7 @@ def encode_sharded(
     axes=AXES,
     spmm_precision: str = "highest",
     sharded_keys: frozenset = frozenset(),
+    overlap: bool = True,
 ) -> Dict[str, jax.Array]:
     """Two-layer encoder inside shard_map over a (row, edge) mesh.
 
@@ -306,26 +307,48 @@ def encode_sharded(
         return full[: adj.n_rows]
 
     def layer(level, inputs, relu, tag):
+        # Two-phase structure so the BOUNDARY EXCHANGE OVERLAPS local
+        # aggregation (BASELINE: "exchanged all-to-all and overlapped
+        # with neighborhood aggregation"): phase 1 computes every edge
+        # type's LOCAL part (projection + local einsum/segment-sum) and
+        # issues its collectives immediately; nothing consumes a
+        # gathered table until every edge type's local work has been
+        # emitted, so the compiler's async-collective scheduler is free
+        # to span edge type k's psum/all_gather over edge type k+1's
+        # einsum (measured A/B: scripts/multihost_overlap.py /
+        # artifacts/perf/multihost_overlap.json).  With
+        # ``overlap=False`` an optimization_barrier chains each edge
+        # type's gathered output into the next edge type's inputs,
+        # forcing the serial schedule — the experiment control.
+        gathered: Dict[str, jax.Array] = {}
+        prev = None
+        for et in graph.edge_types:
+            key = etkey(et)
+            feat = inputs[str(et[1])]
+            w = params[level][key]
+            if not overlap and prev is not None:
+                # Serialize: the previous edge type's collective result
+                # must materialize before this edge type's inputs.
+                w, prev = jax.lax.optimization_barrier((w, prev))
+            p_stack = _project(
+                feat,
+                w,
+                _rng(et, tag),
+                dropout_rate,
+                deterministic,
+                per_relation_dropout_max,
+            )
+            gathered[key] = aggregate(
+                p_stack, graph.adj[key], key in sharded_keys
+            )
+            prev = gathered[key]
         out: Dict[str, jax.Array] = {}
         for i in range(num_types):
             acc = None
             for et in graph.edge_types:
                 if et[0] != i:
                     continue
-                key = etkey(et)
-                p_stack = _project(
-                    inputs[str(et[1])],
-                    params[level][key],
-                    _rng(et, tag),
-                    dropout_rate,
-                    deterministic,
-                    per_relation_dropout_max,
-                )
-                term = l2_normalize_rows(
-                    aggregate(
-                        p_stack, graph.adj[key], key in sharded_keys
-                    )
-                )
+                term = l2_normalize_rows(gathered[etkey(et)])
                 acc = term if acc is None else acc + term
             if acc is None:
                 raise ValueError(f"node type {i} has no incoming edge types")
@@ -382,6 +405,7 @@ def make_sharded_train_step(
         else None
     )
     mc = model.config
+    _overlap = bool(getattr(cfg, "comm_overlap", True))
 
     def local_loss(params, graph: ShardedGraph, k, rows, cols, rng):
         enc_rng, sample_rng = jax.random.split(rng)
@@ -398,6 +422,7 @@ def make_sharded_train_step(
             axes=axes,
             spmm_precision=mc.spmm_precision,
             sharded_keys=sharded_keys,
+            overlap=_overlap,
         )
         # Scoring is deterministic given embeddings (reference parity —
         # optimizer.py:63-85 applies no decoder-input dropout).
@@ -516,6 +541,7 @@ def make_sharded_chunked_train_step(
         else None
     )
     mc = model.config
+    _overlap = bool(getattr(cfg, "comm_overlap", True))
     ns = max(1, cfg.neg_sample_size)
     local_batch = cfg.batch_size // n_shards
 
@@ -534,6 +560,7 @@ def make_sharded_chunked_train_step(
             axes=axes,
             spmm_precision=mc.spmm_precision,
             sharded_keys=sharded_keys,
+            overlap=_overlap,
         )
 
         def make_branch(et):
@@ -622,6 +649,7 @@ def make_sharded_embed_fn(
     )
     p_specs = make_param_pspecs(graph_template, axes) if sharded_keys else P()
     mc = model.config
+    _overlap = True  # deterministic embed: no A/B control needed
 
     def local(params, graph: ShardedGraph):
         return encode_sharded(
@@ -632,6 +660,7 @@ def make_sharded_embed_fn(
             axes=axes,
             spmm_precision=mc.spmm_precision,
             sharded_keys=sharded_keys,
+            overlap=_overlap,
         )
 
     return jax.jit(
@@ -695,6 +724,7 @@ def make_sharded_grouped_chunked_train_step(
         else None
     )
     mc = model.config
+    _overlap = bool(getattr(cfg, "comm_overlap", True))
     ns = max(1, cfg.neg_sample_size)
     local_batch = cfg.batch_size // n_shards
 
@@ -713,6 +743,7 @@ def make_sharded_grouped_chunked_train_step(
             axes=axes,
             spmm_precision=mc.spmm_precision,
             sharded_keys=sharded_keys,
+            overlap=_overlap,
         )
         total = jnp.float32(0.0)
         for g in range(branch.shape[0]):

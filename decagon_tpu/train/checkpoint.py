@@ -93,9 +93,13 @@ def export_ndarrays(
     out_dir: str,
     relation_names: Optional[List[str]] = None,
     drug_type: int = 1,
+    node_perms: Optional[Dict[int, np.ndarray]] = None,
 ) -> None:
     """Write the offline-predictor artifact set.
 
+    ``node_perms``: optional ``{type: old_of_new}`` from
+    ``graph.renumber.renumber_by_degree`` — embeddings are restored to
+    external row order before writing.
     ``embeddings.npy``: drug-type embeddings [N_drugs, hidden2];
     ``EmbeddingImportance.npz`` + per-relation
     ``EmbeddingImportance-<name>.npy``: per-relation diagonal local
@@ -106,11 +110,16 @@ def export_ndarrays(
     """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    np.save(
-        out / "embeddings.npy",
-        np.asarray(embeddings[str(drug_type)]),
-        allow_pickle=False,
-    )
+    emb = np.asarray(embeddings[str(drug_type)])
+    if node_perms is not None and drug_type in node_perms:
+        # Training may run in a renumbered node space (graph/renumber:
+        # Pallas occupancy lever); exported rows must be EXTERNAL
+        # (sorted-id) order — the offline NpPredictor rebuilds its node
+        # lists from the CSVs.
+        from decagon_tpu.graph.renumber import restore_external_rows
+
+        emb = restore_external_rows(emb, node_perms[drug_type])
+    np.save(out / "embeddings.npy", emb, allow_pickle=False)
 
     dd_key = etkey((drug_type, drug_type))
     decoder = dict(graph.decoders)[dd_key]

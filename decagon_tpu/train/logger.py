@@ -64,8 +64,10 @@ class MetricsLogger:
         ndarray_dir: Optional[str] = None,
         relation_names: Optional[List[str]] = None,
         quiet: bool = False,
+        node_perms=None,
     ):
         self.evaluator = evaluator
+        self.node_perms = node_perms
         self.dataset_id = dataset_id
         self.every_n = max(1, every_n_iterations)
         self.eval_relation = eval_relation
@@ -120,6 +122,7 @@ class MetricsLogger:
                 trainer.device_graph,
                 self.ndarray_dir,
                 relation_names=self.relation_names,
+                node_perms=self.node_perms,
             )
 
     def _write(

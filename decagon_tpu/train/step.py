@@ -122,6 +122,12 @@ class TrainConfig:
     # at paper scale (~333 MiB/step replicated vs ~KBs of decoder grads
     # sharded).  Ignored off-mesh; incompatible with lazy_decoder_adam.
     shard_weights: bool = True
+    # Mesh training only: allow the boundary exchange (per-edge-type
+    # psum + all_gather) to OVERLAP the next edge type's local
+    # aggregation (BASELINE's named requirement).  False serializes the
+    # collectives behind optimization_barrier chains — the measurement
+    # control for the overlap A/B (scripts/multihost_overlap.py).
+    comm_overlap: bool = True
     # Wire dtype for the sharded-leaf gradient psum over the ROW (DCN /
     # cross-host) axis.  "bfloat16" halves the dominant multi-host
     # per-step traffic (the k_loc enc-grad slice; scripts/

@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from decagon_tpu.graph.device import build_device_graph
+from decagon_tpu.ops.tiling import tiling_stats
 from decagon_tpu.graph.split import split_graph
 from decagon_tpu.graph.synthetic import make_polypharmacy_like_graph
 from decagon_tpu.models.model import DecagonModel, ModelConfig
@@ -79,13 +80,21 @@ def steady_ms(trainer, chunk=10, windows=4):
     return min(times) * 1e3
 
 
-def run_config(n_drugs, dd_edges, impls, chunk=10, share_state=True):
+def run_config(n_drugs, dd_edges, impls, chunk=10, share_state=True,
+               renumber=False):
     build_t0 = time.perf_counter()
     graph = make_polypharmacy_like_graph(
         n_proteins=19081, n_drugs=n_drugs, n_side_effects=963,
         min_edges_per_relation=500, total_drugdrug_edges=dd_edges,
         ppi_attachment=37, seed=7,
     )
+    if renumber:
+        # Degree-clustered relabeling (PALLAS_NOTE lever 1): hot source
+        # rows concentrate at low indices, so the kernel's contiguous
+        # source windows carry more real edges per DMA.
+        from decagon_tpu.graph.renumber import renumber_by_degree
+
+        graph, _ = renumber_by_degree(graph)
     splits = split_graph(graph, val_frac=0.05, test_frac=0.05, seed=1)
     dg = build_device_graph(
         graph, splits,
@@ -108,6 +117,12 @@ def run_config(n_drugs, dd_edges, impls, chunk=10, share_state=True):
             "GB HBM (dense path impossible)"
         ),
         "host_build_s": round(build_s, 1),
+        "renumbered": bool(renumber),
+        "occupancy": {
+            key: round(tiling_stats(a.tiles_fwd)["occupancy"], 3)
+            for key, a in dg.adj.items()
+            if a.tiles_fwd is not None
+        },
     }
     cfg = TrainConfig(batch_size=512, learning_rate=1e-3, scan_chunk=chunk)
     shared_state = None
@@ -162,6 +177,17 @@ def main():
             [("xla", "xla", "highest"),
              ("pallas_bf16", "pallas", "default"),
              ("pallas_f32", "pallas", "highest")],
+        ),
+        # round 5: degree-clustered renumbering A/B on the kernel path
+        "paper_cap_renumbered": run_config(
+            645, 4_651_131,
+            [("pallas_bf16", "pallas", "default")],
+            renumber=True,
+        ),
+        "beyond_paper_renumbered": run_config(
+            1600, 6_000_000,
+            [("pallas_bf16", "pallas", "default")],
+            renumber=True,
         ),
     }
     h = out["paper_cap"]

@@ -64,7 +64,7 @@ from decagon_tpu.train.trainer import Trainer
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ART_DIR = os.path.join(ROOT, "artifacts", "quality")
-CKPT_DIR = os.path.join(ROOT, "artifacts", "quality", "poly963_ckpt_r4")
+CKPT_DIR = os.path.join(ROOT, "artifacts", "quality", "poly963_ckpt_r5")
 
 
 def main():
@@ -76,6 +76,15 @@ def main():
                     help="epochs between checkpoint saves (a save costs "
                          "~70s over the device tunnel)")
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--lr-schedule", default="cosine",
+                    choices=["constant", "cosine", "step"],
+                    help="lr decay over optimization steps: the r4 run "
+                         "plateaued 0.024 below its best epoch from "
+                         "lr-3e-3 oscillation (QUALITY_NOTE); cosine "
+                         "decay makes the target hold at convergence")
+    ap.add_argument("--lr-schedule-epochs", type=int, default=10,
+                    help="epochs over which cosine decays to "
+                         "lr*lr_min_frac (0.1)")
     ap.add_argument("--group", type=int, default=8)
     ap.add_argument("--noise", type=float, default=0.3,
                     help="planted selection noise; 0.3 caps the proxy's "
@@ -101,16 +110,29 @@ def main():
     dg = build_device_graph(
         graph, splits, densify_max_cells=1_000_000_000,
         dense_dtype=jnp.bfloat16, build_fused=False,
+        dense_factored=True, dense_paired=True,
     )
     log("graph + device graph built")
     model = DecagonModel(
         ModelConfig(hidden1=64, hidden2=32, dropout=0.1, spmm_impl="auto"),
         dg,
     )
+    # lr schedule horizon in OPTIMIZATION steps (balanced epochs have a
+    # deterministic batch count; grouped steps consume one per G batches)
+    batch = 512
+    n_batches = sum(
+        -(-splits[k].train.shape[0] // batch)
+        for k in graph.relation_keys()
+        if splits[k].train.shape[0] > 0
+    )
+    opt_steps_per_epoch = -(-n_batches // args.group)
     cfg = TrainConfig(
-        batch_size=512, learning_rate=args.lr, loss="hinge", margin=0.1,
+        batch_size=batch, learning_rate=args.lr, loss="hinge", margin=0.1,
         num_epochs=1, scan_chunk=32, schedule="balanced",
         relation_group=args.group,
+        lr_schedule=args.lr_schedule,
+        lr_schedule_steps=args.lr_schedule_epochs * opt_steps_per_epoch,
+        lr_min_frac=0.1,
     )
     trainer = Trainer(model, graph, splits, dg, cfg, seed=0)
     evaluator = AccuracyEvaluator(model, graph, splits)
@@ -127,6 +149,36 @@ def main():
 
     os.makedirs(ART_DIR, exist_ok=True)
     csv_path = os.path.join(ART_DIR, f"poly963{tag}_metrics.csv")
+    # Provenance sidecar: the quality gates (tests/test_quality.py)
+    # assert the checked-in trajectory was produced by THIS config —
+    # a regenerated CSV with different noise/seed/hparams fails the
+    # gate instead of silently rotting (VERDICT r4 weak #8).
+    provenance = {
+        "graph": {
+            "n_proteins": 19081, "n_drugs": 645, "n_side_effects": 963,
+            "min_edges_per_relation": 500,
+            "total_drugdrug_edges": 4_651_131, "ppi_attachment": 37,
+            "seed": 7, "planted_rank": 16, "planted_noise": args.noise,
+        },
+        "split_seed": 8,
+        "model": {"hidden1": 64, "hidden2": 32, "dropout": 0.1,
+                  "spmm_impl": "auto"},
+        "train": {
+            "batch_size": 512, "learning_rate": args.lr,
+            "loss": "hinge", "margin": 0.1, "schedule": "balanced",
+            "relation_group": args.group,
+            "lr_schedule": args.lr_schedule,
+            "lr_schedule_steps": cfg.lr_schedule_steps,
+            "lr_min_frac": 0.1,
+            "adam_moments_dtype": cfg.adam_moments_dtype,
+            "grad_dtype": getattr(cfg, "grad_dtype", "float32"),
+        },
+        "trainer_seed": 0,
+    }
+    with open(
+        os.path.join(ART_DIR, f"poly963{tag}_metrics.meta.json"), "w"
+    ) as mf:
+        json.dump(provenance, mf, indent=1)
     mode = "a" if resumed and os.path.exists(csv_path) else "w"
     best_val, since_best = -1.0, 0
     f = open(csv_path, mode, newline="")

@@ -186,3 +186,58 @@ def test_polypharmacy_generator_edge_budget():
     rel = graph.relations[(1, 1)][0]
     pairs = {(int(r), int(c)) for r, c in zip(rel.rows, rel.cols)}
     assert all((c, r) in pairs for r, c in pairs)
+
+
+def test_renumber_by_degree_preserves_graph():
+    """Degree renumbering (ops/spmm_pallas occupancy lever): edges map
+    bijectively, degrees are descending per type, dense features follow
+    their nodes, and restore_external_rows inverts the permutation."""
+    import numpy as np
+
+    from decagon_tpu.graph.renumber import (
+        renumber_by_degree,
+        restore_external_rows,
+    )
+    from decagon_tpu.graph.synthetic import make_polypharmacy_like_graph
+
+    graph = make_polypharmacy_like_graph(
+        n_proteins=150, n_drugs=60, n_side_effects=4, seed=3,
+        mono_features=True, n_mono_side_effects=20,
+    )
+    new, perms = renumber_by_degree(graph)
+    assert new.num_nodes == graph.num_nodes
+    # per-type degree descending in the NEW numbering
+    for t in range(2):
+        deg = np.zeros(new.num_nodes[t], np.int64)
+        for (i, j), rels in new.relations.items():
+            for rel in rels:
+                if i == t:
+                    deg += np.bincount(rel.rows, minlength=len(deg))
+                if j == t:
+                    deg += np.bincount(rel.cols, minlength=len(deg))
+        assert (np.diff(deg) <= 0).all(), t
+    # edge sets are the same graph under the permutation
+    for (i, j) in graph.relations:
+        for old_rel, new_rel in zip(
+            graph.relations[(i, j)], new.relations[(i, j)]
+        ):
+            old_edges = set(
+                zip(old_rel.rows.tolist(), old_rel.cols.tolist())
+            )
+            mapped = set(
+                zip(
+                    perms[i][new_rel.rows].tolist(),
+                    perms[j][new_rel.cols].tolist(),
+                )
+            )
+            assert old_edges == mapped, (i, j)
+    # dense drug features rode along with their nodes
+    np.testing.assert_array_equal(
+        np.asarray(new.features[1].dense),
+        np.asarray(graph.features[1].dense)[perms[1]],
+    )
+    # export-side inverse: a per-node table computed in the new space
+    # restores to external row order
+    table_new = np.arange(new.num_nodes[1] * 3).reshape(-1, 3)
+    ext = restore_external_rows(table_new, perms[1])
+    np.testing.assert_array_equal(ext[perms[1]], table_new)
