@@ -140,14 +140,29 @@ def project(nr: int, ne: int, shard_weights: bool, row_is_dcn: bool,
     ) * 1e3
     grad_ms = t_comm - act_ms
     t_overlap = max(t_compute, grad_ms) + act_ms
+    # MEASURED activation-exchange overlap (round 5): the two-phase
+    # encode_sharded schedule hides ~32% of the exposed boundary
+    # exchange behind the next edge type's local aggregation
+    # (uncontended 2-process A/B, artifacts/perf/
+    # multihost_overlap.json: overlap_factor 0.315) — apply it to the
+    # activation term on top of the grad-overlap schedule.
+    MEASURED_ACT_OVERLAP = 0.315
+    t_measured = (
+        max(t_compute, grad_ms)
+        + act_ms * (1.0 - MEASURED_ACT_OVERLAP)
+    )
     return {
         **{k: round(v, 3) for k, v in comm.items()},
         "t_compute_ms": round(t_compute, 3),
         "t_comm_ms": round(t_comm, 3),
         "t_step_serial_ms": round(t_serial, 3),
         "t_step_grad_overlap_ms": round(t_overlap, 3),
+        "t_step_measured_overlap_ms": round(t_measured, 3),
         "efficiency_serial": round(T1_MS / (n * t_serial), 3),
         "efficiency_grad_overlap": round(T1_MS / (n * t_overlap), 3),
+        "efficiency_measured_overlap": round(
+            T1_MS / (n * t_measured), 3
+        ),
     }
 
 
@@ -158,10 +173,17 @@ def main():
             "t1_ms": T1_MS,
             "ici_gbps_per_dir": ICI_GBPS,
             "dcn_gbps": DCN_GBPS,
-            "model": "T(n)=max(T1/n, sum(bytes/bw)); no overlap "
-                     "(conservative); ring collectives",
+            "model": "T(n)=max(T1/n, sum(bytes/bw)); serial / "
+                     "grad-overlap / measured-overlap variants (the "
+                     "last applies the MEASURED 0.315 activation-"
+                     "exchange overlap factor from artifacts/perf/"
+                     "multihost_overlap.json); ring collectives",
             "workload": "963-relation polypharmacy scale, H=64/32, "
-                        "bf16 dense stacks, fused Adam",
+                        "bf16 dense stacks, fused Adam (the sharded "
+                        "step's dispatch; the round-5 paired kernels "
+                        "are single-chip-only, so T1 here stays the "
+                        "dense-stack step, not the 13.3 ms paired "
+                        "headline)",
         },
         "meshes": {},
     }

@@ -103,10 +103,13 @@ def test_poly963_fullscale_converged():
     )
 
 
-def test_poly963_reduced_noise_meets_north_star():
+def test_poly963_reduced_noise_meets_north_star_at_convergence():
     """The converged run on the reduced-noise proxy — whose oracle
     ceiling (0.934, artifacts/quality/oracle_ceiling.json) honestly
-    supports the BASELINE target — must reach test AUROC >= 0.87."""
+    supports the BASELINE target — must hold test AUROC >= 0.87 at the
+    FINAL epoch (round 5: cosine lr decay removed the r4 run's 0.024
+    best-to-plateau drift; the gate is on convergence, not a cherry-
+    picked best epoch), and the trajectory must not regress."""
     import csv
     import os
 
@@ -118,8 +121,39 @@ def test_poly963_reduced_noise_meets_north_star():
     with open(path) as f:
         rows = list(csv.DictReader(f))
     assert rows, "no epochs recorded"
-    best = max(float(r["TestAUROC"]) for r in rows)
-    assert best >= 0.87, (
-        f"best test AUROC {best:.4f} below the 0.87 north star on the "
-        "ceiling-0.934 proxy"
+    aurocs = [float(r["TestAUROC"]) for r in rows]
+    assert aurocs[-1] >= 0.87, (
+        f"FINAL test AUROC {aurocs[-1]:.4f} below the 0.87 north star "
+        "on the ceiling-0.934 proxy"
     )
+    assert max(aurocs) - aurocs[-1] < 0.005, (
+        "trajectory regressed from its best — the lr schedule is "
+        "supposed to make the target hold at convergence"
+    )
+
+
+def test_poly963_reduced_noise_provenance():
+    """The checked-in trajectory carries a provenance sidecar pinning
+    the config it claims to represent (noise, seeds, schedule, lr) —
+    regenerating the CSV under different settings fails here instead of
+    silently rotting (VERDICT r4 weak #8)."""
+    import json
+    import os
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "quality",
+    )
+    path = os.path.join(base, "poly963_noise0.15_metrics.meta.json")
+    assert os.path.exists(path), "missing provenance sidecar"
+    with open(path) as f:
+        meta = json.load(f)
+    assert meta["graph"]["planted_noise"] == 0.15
+    assert meta["graph"]["seed"] == 7
+    assert meta["split_seed"] == 8
+    assert meta["train"]["schedule"] == "balanced"
+    assert meta["train"]["relation_group"] == 8
+    assert meta["train"]["lr_schedule"] in ("cosine", "step", "constant")
+    assert meta["model"] == {
+        "hidden1": 64, "hidden2": 32, "dropout": 0.1, "spmm_impl": "auto"
+    }
