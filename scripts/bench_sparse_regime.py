@@ -164,51 +164,84 @@ def run_config(n_drugs, dd_edges, impls, chunk=10, share_state=True,
     return out
 
 
+CONFIGS = {
+    "paper_cap": dict(
+        n_drugs=645, dd_edges=4_651_131,
+        impls=[("xla", "xla", "highest"),
+               ("pallas_bf16", "pallas", "default"),
+               ("pallas_f32", "pallas", "highest")],
+    ),
+    "beyond_paper": dict(
+        n_drugs=1600, dd_edges=6_000_000,
+        impls=[("xla", "xla", "highest"),
+               ("pallas_bf16", "pallas", "default"),
+               ("pallas_f32", "pallas", "highest")],
+    ),
+    # round 5: degree-clustered renumbering A/B on the kernel path
+    "paper_cap_renumbered": dict(
+        n_drugs=645, dd_edges=4_651_131,
+        impls=[("pallas_bf16", "pallas", "default")],
+        renumber=True,
+    ),
+    "beyond_paper_renumbered": dict(
+        n_drugs=1600, dd_edges=6_000_000,
+        impls=[("pallas_bf16", "pallas", "default")],
+        renumber=True,
+    ),
+    "xla_infeasible": dict(
+        n_drugs=2500, dd_edges=8_000_000,
+        impls=[("xla", "xla", "highest"),
+               ("pallas_bf16", "pallas", "default"),
+               ("pallas_bf16_remat", "pallas", "default",
+                {"remat": True})],
+        share_state=False,
+    ),
+}
+
+
 def main():
-    out = {
-        "paper_cap": run_config(
-            645, 4_651_131,
-            [("xla", "xla", "highest"),
-             ("pallas_bf16", "pallas", "default"),
-             ("pallas_f32", "pallas", "highest")],
-        ),
-        "beyond_paper": run_config(
-            1600, 6_000_000,
-            [("xla", "xla", "highest"),
-             ("pallas_bf16", "pallas", "default"),
-             ("pallas_f32", "pallas", "highest")],
-        ),
-        # round 5: degree-clustered renumbering A/B on the kernel path
-        "paper_cap_renumbered": run_config(
-            645, 4_651_131,
-            [("pallas_bf16", "pallas", "default")],
-            renumber=True,
-        ),
-        "beyond_paper_renumbered": run_config(
-            1600, 6_000_000,
-            [("pallas_bf16", "pallas", "default")],
-            renumber=True,
-        ),
-    }
+    import argparse
+    import subprocess
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="run ONE named config in this process")
+    args = ap.parse_args()
+    if args.only:
+        out = {args.only: run_config(**CONFIGS[args.only])}
+        path = os.path.join(
+            ROOT, "artifacts", "perf", f"_sparse_{args.only}.json"
+        )
+        with open(path, "w") as f:
+            json.dump(out, f)
+        print(f"wrote {path}")
+        return
+
+    # Each config runs in a FRESH process: a failed (OOM'd) trainer's
+    # buffers and the previous config's jit-cache constants otherwise
+    # accumulate on the single chip and starve later configs.
+    out = {}
+    for name in CONFIGS:
+        r = subprocess.run(
+            [sys.executable, __file__, "--only", name], timeout=1800,
+        )
+        part_path = os.path.join(
+            ROOT, "artifacts", "perf", f"_sparse_{name}.json"
+        )
+        if r.returncode == 0 and os.path.exists(part_path):
+            with open(part_path) as f:
+                out.update(json.load(f))
+            os.remove(part_path)
+        else:
+            out[name] = {"failed": f"subprocess rc={r.returncode}"}
     h = out["paper_cap"]
     if "ms_per_step_min" in h.get("xla", {}) and             "ms_per_step_min" in h.get("pallas_bf16", {}):
         h["pallas_vs_xla"] = round(
             h["xla"]["ms_per_step_min"]
             / h["pallas_bf16"]["ms_per_step_min"], 2
         )
-    # Without remat the kernel misses HBM by 454 MB here (fwd
-    # residuals); encoder rematerialization (ModelConfig.remat) drops
-    # them and makes the config trainable — the xla OOM is structural
-    # (21.8 G needed) and remat cannot save it.
-    out["xla_infeasible"] = run_config(
-        2500, 8_000_000,
-        [("xla", "xla", "highest"),
-         ("pallas_bf16", "pallas", "default"),
-         ("pallas_bf16_remat", "pallas", "default", {"remat": True})],
-        share_state=False,
-    )
     # Summary fields bench.py lifts into its output.
-    out["workload"] = out["paper_cap"]["workload"]
+    out["workload"] = out["paper_cap"].get("workload")
     out["xla"] = out["paper_cap"].get("xla")
     out["pallas_bf16"] = out["paper_cap"].get("pallas_bf16")
     out["pallas_vs_xla"] = out["paper_cap"].get("pallas_vs_xla")

@@ -115,6 +115,10 @@ def main():
     t_score, _ = timed(score, reps=5)
 
     # End-to-end evaluate_all (both polarities + metric computation).
+    # Round 5: host AUROC/AUPRC are vectorized rank statistics
+    # (train/evaluate.fast_auroc — sklearn parity-tested), replacing the
+    # sklearn calls that were 97% of this number in r4 (1324 ms).
+    ev.evaluate_all_drug_drug(params, dg, embeddings=emb)  # warm stage
     t_all0 = time.perf_counter()
     scores = ev.evaluate_all_drug_drug(params, dg, embeddings=emb)
     t_all = time.perf_counter() - t_all0
@@ -164,6 +168,63 @@ def main():
                     "status": f"failed: {str(exc).splitlines()[0][:200]}"
                 }
 
+    # Bilinear (round 5): the flattened [K, d*d] one-hot gather — time
+    # the kernel vs the XLA chunked-gather fallback on the same stream
+    # with synthetic per-relation [d, d] matrices (the graph's (1,1)
+    # decoder is dedicom; bilinear is BASELINE config 3's family).
+    bilinear = {"status": "not probed (cpu backend)"}
+    if jax.default_backend() == "tpu":
+        from decagon_tpu.ops import sddmm_pallas as sp
+        from decagon_tpu.ops.sddmm import sddmm_pairs
+
+        rngb = np.random.default_rng(0)
+        k_rel = dg.adj["1,1"].num_rel
+        d = emb["1"].shape[1]
+        rel_full = jnp.asarray(
+            rngb.standard_normal((k_rel, d, d)), jnp.float32
+        )
+        z = emb["1"]
+        ks_flat, rows_flat, cols_flat, _ = ev._stage(
+            batches, cache_key=("prof", "flat")
+        )
+
+        def xla_bilinear(ks, r, c):
+            def one(args):
+                kk, rr, cc = args
+                return sddmm_pairs(z[rr], z[cc], glb=rel_full[kk])
+            return jax.lax.map(
+                one,
+                (ks.reshape(-1, 65536), r.reshape(-1, 65536),
+                 c.reshape(-1, 65536)),
+            )
+
+        bilinear = {}
+        try:
+            fn_x = jax.jit(xla_bilinear)
+            t_x, out_x = timed(fn_x, ks_flat, rows_flat, cols_flat)
+            bilinear["xla_ms"] = round(t_x * 1e3, 2)
+        except Exception as exc:  # noqa: BLE001
+            bilinear["xla_ms"] = f"failed: {str(exc)[:160]}"
+            out_x = None
+        try:
+            fn_k = jax.jit(
+                lambda ks, r, c: sp.sddmm_pallas_edges(
+                    z, z, ks, r, c, name="bilinear", rel_full=rel_full,
+                    precision="default",
+                )
+            )
+            t_k, out_k = timed(fn_k, ks_flat, rows_flat, cols_flat)
+            bilinear["kernel_bf16_ms"] = round(t_k * 1e3, 2)
+            if out_x is not None:
+                a = np.asarray(out_k).reshape(-1)[:n_edges]
+                b = np.asarray(out_x).reshape(-1)[:n_edges]
+                denom = np.abs(b).max() + 1e-9
+                bilinear["max_rel_err_vs_xla"] = round(
+                    float(np.abs(a - b).max() / denom), 5
+                )
+        except Exception as exc:  # noqa: BLE001
+            bilinear["kernel_bf16_ms"] = f"failed: {str(exc)[:160]}"
+
     share = t_score / (t_embed + t_score)
     best_kernel_ms = min(
         (v["compiled_ms"] for v in kernel.values()
@@ -176,9 +237,10 @@ def main():
         "encoder_forward_ms": round(t_embed * 1e3, 2),
         "sddmm_scoring_warm_ms": round(t_score * 1e3, 2),
         "sddmm_scoring_cold_ms_incl_upload": round(t_score_cold * 1e3, 2),
-        "evaluate_all_ms_incl_sklearn": round(t_all * 1e3, 2),
+        "evaluate_all_warm_ms_incl_host_metrics": round(t_all * 1e3, 2),
         "sddmm_share_of_forward_plus_scoring": round(share, 4),
         "pallas_kernel_compiled": kernel,
+        "bilinear": bilinear,
         "kernel_vs_jnp_speedup": (
             round(t_score * 1e3 / best_kernel_ms, 2)
             if best_kernel_ms else None

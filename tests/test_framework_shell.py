@@ -610,3 +610,40 @@ def test_num_batches_counts_wrap_padded_relations():
     got = len(list(sched.epoch()))
     assert est > 0
     assert got > 0
+
+
+def test_cli_renumber_nodes_end_to_end(tmp_path):
+    """RenumberNodes: true — training runs in the degree-renumbered
+    space end to end (graph/renumber.py; Pallas occupancy lever) and
+    the iteration CSV still records finite metrics."""
+    import csv as _csv
+
+    from decagon_tpu import cli
+
+    conf = {
+        "DataSetType": "DecagonDummyData",
+        "ActiveLearnerType": "NoopActiveLearner",
+        "NumProteins": 60,
+        "NumDrugs": 30,
+        "NumDrugDrugRelationTypes": 1,
+        "RenumberNodes": True,
+        "hidden1": 8,
+        "hidden2": 4,
+        "batch_size": 16,
+        "NumEpochs": 1,
+        "NumIterationsPerLog": 50,
+        "TrainIterationResultDir": str(tmp_path / "results"),
+        "ShouldCheckpoint": False,
+        "ValFraction": 0.1,
+        "TestFraction": 0.05,
+    }
+    path = tmp_path / "conf.json"
+    path.write_text(json.dumps(conf))
+    cli.main(["--config", str(path)])
+    results = os.listdir(tmp_path / "results")
+    files = [f for f in results if f.startswith("decagon_iteration_results")]
+    assert files
+    with open(tmp_path / "results" / files[0]) as f:
+        rows = list(_csv.DictReader(f))
+    assert rows
+    assert all(0.0 <= float(r["AUROC"]) <= 1.0 for r in rows)
