@@ -136,6 +136,7 @@ def run_config(n_drugs, dd_edges, impls, chunk=10, share_state=True,
             ),
             dg,
         )
+        trainer = None
         try:
             trainer = Trainer(
                 model, graph, splits, dg, cfg, seed=0,
@@ -160,6 +161,16 @@ def run_config(n_drugs, dd_edges, impls, chunk=10, share_state=True,
                 (l for l in first if "memory" in l.lower()), first[0]
             )
             out[tag] = {"failed": msg.strip()[:300]}
+        finally:
+            # A runtime-OOM'd attempt leaves multi-GB params/opt-state
+            # referenced (round 4's xla attempt failed at COMPILE and
+            # allocated nothing; bf16 moments shrank the program enough
+            # to fail at RUNTIME instead, starving the NEXT impl) —
+            # drop everything it pinned before trying the next one.
+            import gc
+
+            del trainer, model
+            gc.collect()
         log(f"{tag}: {out[tag]}")
     return out
 
@@ -173,9 +184,13 @@ CONFIGS = {
     ),
     "beyond_paper": dict(
         n_drugs=1600, dd_edges=6_000_000,
-        impls=[("xla", "xla", "highest"),
-               ("pallas_bf16", "pallas", "default"),
-               ("pallas_f32", "pallas", "highest")],
+        # xla LAST: bf16 moments shrank its program under the r4
+        # compile-OOM threshold, so it now RUNTIME-OOMs — and a failed
+        # execution's buffers outlive gc, starving any impl tried after
+        # it on the single chip.
+        impls=[("pallas_bf16", "pallas", "default"),
+               ("pallas_f32", "pallas", "highest"),
+               ("xla", "xla", "highest")],
     ),
     # round 5: degree-clustered renumbering A/B on the kernel path
     "paper_cap_renumbered": dict(
