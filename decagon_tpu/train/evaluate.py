@@ -43,7 +43,9 @@ def average_precision_at_k(
         predicted = predicted[:k]
     if not actual:
         return 0.0
-    actual_set = set(actual)
+    # a range is O(1) membership — callers pass range(n_pos) for the
+    # pooled eval so no 10^6-element set/list ever materializes
+    actual_set = actual if isinstance(actual, range) else set(actual)
     seen = set()
     score = 0.0
     hits = 0.0
@@ -122,6 +124,43 @@ def fast_average_precision(
     )
 
 
+def pooled_rank_metrics(
+    labels: np.ndarray, scores: np.ndarray
+) -> Tuple[float, float]:
+    """(AUROC, average precision) off ONE descending sort.
+
+    Same math as ``fast_auroc`` / ``fast_average_precision`` (average
+    tie ranks; step-wise AP over distinct thresholds — both
+    sklearn-parity-tested) but sharing the single mergesort that
+    dominates the pooled-eval host cost; accumulation in float64."""
+    scores = np.asarray(scores, np.float32)
+    labels = np.asarray(labels, np.float64)
+    n = scores.size
+    # unstable sort: tie ORDER is irrelevant here (both metrics group
+    # ties), and introsort is ~2x mergesort at this size
+    order = np.argsort(-scores)
+    s = scores[order]
+    tp = np.cumsum(labels[order], dtype=np.float64)
+    n_pos = float(tp[-1]) if n else 0.0
+    n_neg = n - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan"), float("nan")
+    boundary = np.nonzero(np.diff(s))[0]
+    idx = np.concatenate([boundary, [n - 1]])
+    tps = tp[idx]
+    precision = tps / (idx + 1.0)
+    recall = tps / n_pos
+    ap = float(np.sum(np.diff(recall, prepend=0.0) * precision))
+    # average ASCENDING 1-based rank of each tie group, from its span
+    # in the descending order: group [start..end] -> n - (start+end)/2
+    starts = np.concatenate([[0], idx[:-1] + 1])
+    avg_rank = n - (starts + idx) / 2.0
+    group_pos = np.diff(np.concatenate([[0.0], tps]))
+    pos_rank_sum = float(np.sum(avg_rank * group_pos))
+    auroc = (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    return float(auroc), ap
+
+
 def compute_scores(
     probs_pos: np.ndarray, probs_neg: np.ndarray, apk_k: int = 50
 ) -> AccuracyScores:
@@ -129,11 +168,19 @@ def compute_scores(
     labels_all = np.concatenate(
         [np.ones(len(probs_pos)), np.zeros(len(probs_neg))]
     )
-    auroc = fast_auroc(labels_all, probs_all)
-    auprc = fast_average_precision(labels_all, probs_all)
-    actual = list(range(len(probs_pos)))
-    predicted = list(np.argsort(-probs_all, kind="stable"))
-    apk = average_precision_at_k(actual, predicted, k=apk_k)
+    auroc, auprc = pooled_rank_metrics(labels_all, probs_all)
+    # AP@k consumes only the top-k ranks: argpartition + sort of k
+    # elements instead of materializing a million-element Python list
+    # (this WAS most of evaluate_all's wall after the sklearn removal)
+    n = probs_all.size
+    if n > apk_k:
+        top = np.argpartition(-probs_all, apk_k)[:apk_k]
+        predicted = top[np.argsort(-probs_all[top], kind="stable")].tolist()
+    else:
+        predicted = np.argsort(-probs_all, kind="stable").tolist()
+    apk = average_precision_at_k(
+        range(len(probs_pos)), predicted, k=apk_k
+    )
     return AccuracyScores(auroc=auroc, auprc=auprc, apk=apk)
 
 

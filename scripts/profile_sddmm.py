@@ -123,6 +123,23 @@ def main():
     scores = ev.evaluate_all_drug_drug(params, dg, embeddings=emb)
     t_all = time.perf_counter() - t_all0
 
+    # The PRODUCTION evaluator ("auto" -> compiled Pallas SDDMM on TPU)
+    # end to end, warm: scoring + host metrics (VERDICT r4 #7 target
+    # < 200 ms from r4's 1324 ms).
+    t_all_auto = None
+    if jax.default_backend() == "tpu":
+        model_auto = DecagonModel(
+            ModelConfig(spmm_impl="auto", sddmm_impl="auto",
+                        sddmm_precision="default"), dg
+        )
+        ev_auto = AccuracyEvaluator(model_auto, graph, splits)
+        emb_auto = ev_auto._embed(params, dg)
+        ev_auto.evaluate_all_drug_drug(params, dg, embeddings=emb_auto)
+        ev_auto.evaluate_all_drug_drug(params, dg, embeddings=emb_auto)
+        t0 = time.perf_counter()
+        ev_auto.evaluate_all_drug_drug(params, dg, embeddings=emb_auto)
+        t_all_auto = time.perf_counter() - t0
+
     # Compiled Pallas one-hot SDDMM (round 4: gathers are MXU one-hot
     # matmuls — no tpu.dynamic_gather, so the round-3 Mosaic single-vreg
     # blocker is gone).  Time it COMPILED on the same flat holdout
@@ -238,6 +255,9 @@ def main():
         "sddmm_scoring_warm_ms": round(t_score * 1e3, 2),
         "sddmm_scoring_cold_ms_incl_upload": round(t_score_cold * 1e3, 2),
         "evaluate_all_warm_ms_incl_host_metrics": round(t_all * 1e3, 2),
+        "evaluate_all_warm_ms_production_auto": (
+            round(t_all_auto * 1e3, 2) if t_all_auto else None
+        ),
         "sddmm_share_of_forward_plus_scoring": round(share, 4),
         "pallas_kernel_compiled": kernel,
         "bilinear": bilinear,

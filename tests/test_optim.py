@@ -183,3 +183,22 @@ def test_fast_metrics_match_sklearn():
             fast_average_precision(labels, scores)
             - skmetrics.average_precision_score(labels, scores)
         ) < 1e-10, (n, tie_digits)
+
+
+def test_pooled_rank_metrics_match_sklearn():
+    import numpy as np
+    from sklearn import metrics as skmetrics
+
+    from decagon_tpu.train.evaluate import pooled_rank_metrics
+
+    rng = np.random.default_rng(1)
+    for n, tie_digits in ((100, 2), (5000, 3), (30000, None)):
+        scores = rng.random(n).astype(np.float32)
+        if tie_digits:
+            scores = np.round(scores, tie_digits)
+        labels = (rng.random(n) < 0.4).astype(float)
+        auroc, ap = pooled_rank_metrics(labels, scores)
+        assert abs(auroc - skmetrics.roc_auc_score(labels, scores)) < 1e-9
+        assert abs(
+            ap - skmetrics.average_precision_score(labels, scores)
+        ) < 1e-9
