@@ -174,7 +174,10 @@ def bench_fullscale() -> dict:
         if a.dense is not None
     ) / 2**30
 
-    cfg = TrainConfig(batch_size=512, learning_rate=1e-3, scan_chunk=20)
+    # scan_chunk=80: the ~4 ms axon per-dispatch overhead amortizes to
+    # <0.1 ms/step (measured 13.4 -> 12.6 ms/step at paper scale going
+    # 20 -> 80); production configs should chunk at least this deep.
+    cfg = TrainConfig(batch_size=512, learning_rate=1e-3, scan_chunk=80)
     out = {"host_build_s": round(build_s, 1), "dense_stacks_gb": round(dense_gb, 2)}
 
     model_dense = DecagonModel(
@@ -182,7 +185,7 @@ def bench_fullscale() -> dict:
         device_graph,
     )
     trainer = Trainer(model_dense, graph, splits, device_graph, cfg, seed=0)
-    t_dense = _steady_state_ms(trainer, 20, windows=5)
+    t_dense = _steady_state_ms(trainer, 80, windows=4)
     _progress("dense timed")
     dense = _config_metrics(nnz, t_dense)
     # Memory-bound roofline: the dense stacks are read once per SpMM
@@ -215,7 +218,7 @@ def bench_fullscale() -> dict:
             model_fact, graph, splits, device_graph, cfg, seed=0,
             init_state=jax.tree.map(jnp.copy, trainer.state_dict()),
         )
-        t_fact = _steady_state_ms(trainer_f, 20, windows=5)
+        t_fact = _steady_state_ms(trainer_f, 80, windows=4)
         fact = _config_metrics(nnz, t_fact)
         fact["mask_stacks_gb"] = round(mask_gb, 2)
         # 4 int8 stack passes/step (fwd mask x2 layers, bwd mask_t x2)
@@ -248,7 +251,7 @@ def bench_fullscale() -> dict:
         trainer_pr = Trainer(
             model_pair, graph, splits, device_graph, cfg, seed=0,
         )
-        t_pair = _steady_state_ms(trainer_pr, 20, windows=5)
+        t_pair = _steady_state_ms(trainer_pr, 80, windows=4)
         pair = _config_metrics(nnz, t_pair)
         pair["pair_mask_gb"] = round(pair_gb, 2)
         # 4 passes/step over the HALF stacks (fwd x2 layers, bwd x2).

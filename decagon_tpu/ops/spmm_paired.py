@@ -206,18 +206,21 @@ def _bwd_kernel_small(*refs, kb, k_real, has_ds):
 
 
 def _bwd_kernel_big(*refs, ni, nj, bi, bj, has_ds):
+    # Accumulates DIRECTLY into the (revisited, f32) output block: a
+    # separate VMEM scratch alongside the [2, H, N_pad] output block
+    # blew the 16 MB scoped-VMEM budget at N_pad = 19456.
     if has_ds:
         (mask_ref, cte_ref, cto_ref, sci_ref, scj_ref,
-         dsi_ref, dsj_ref, d_ref, acc_ref) = refs
+         dsi_ref, dsj_ref, d_ref) = refs
     else:
         (mask_ref, cte_ref, cto_ref, sci_ref, scj_ref,
-         d_ref, acc_ref) = refs
+         d_ref) = refs
     i = pl.program_id(1)
     j = pl.program_id(2)
 
     @pl.when((i == 0) & (j == 0))
     def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        d_ref[:] = jnp.zeros_like(d_ref)
 
     b = mask_ref[0].astype(jnp.bfloat16)                 # [bi, bj]
     ae = sci_ref[0, 0:1, :]                              # [1, bi]
@@ -237,13 +240,8 @@ def _bwd_kernel_big(*refs, ni, nj, bi, bj, has_ds):
         cta_o, b, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc_ref[0, :, pl.ds(j * bj, bj)] += be * de
-    acc_ref[1, :, pl.ds(i * bi, bi)] += bo * do
-
-    @pl.when((i == ni - 1) & (j == nj - 1))
-    def _done():
-        d_ref[0, 0] = acc_ref[0].astype(d_ref.dtype)
-        d_ref[1, 0] = acc_ref[1].astype(d_ref.dtype)
+    d_ref[0, 0, :, pl.ds(j * bj, bj)] += be * de
+    d_ref[1, 0, :, pl.ds(i * bi, bi)] += bo * do
 
 
 def _bwd_call(ct_t, mask, scales, k_real, h, n, *, kb, ds=None,
@@ -251,8 +249,6 @@ def _bwd_call(ct_t, mask, scales, k_real, h, n, *, kb, ds=None,
     """ct_t [H, N] f32 -> d [2, K, H, N] (col scales + optional
     dropout keep-scales applied; on the identity path this IS the
     weight gradient)."""
-    from jax.experimental.pallas import tpu as pltpu
-
     k8, n_pad, _ = mask.shape
     big = n_pad > BIG_N_THRESHOLD
     if n != n_pad:
@@ -315,10 +311,12 @@ def _bwd_call(ct_t, mask, scales, k_real, h, n, *, kb, ds=None,
             out_specs=pl.BlockSpec(
                 (2, 1, h, n_pad), lambda k, i, j: (0, 0, 0, 0)
             ),
-            out_shape=jax.ShapeDtypeStruct((2, 1, h, n_pad), out_dtype),
-            scratch_shapes=[pltpu.VMEM((2, h, n_pad), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((2, 1, h, n_pad), jnp.float32),
             interpret=interpret,
         )(*args)
+        if out_dtype != jnp.float32:
+            # trivial cast pass: a (0,0)-sized d is ~10 MB
+            d = d.astype(out_dtype)
     if n != n_pad:
         d = d[:, :, :, :n]
     return d
