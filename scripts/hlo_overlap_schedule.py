@@ -136,12 +136,17 @@ def main():
         "overlap_on": analyze(True),
         "overlap_off": analyze(False),
         "note": (
-            "Counts async collective start/done pairs in the OPTIMIZED "
-            "HLO schedule and the dots/fusions the scheduler placed "
-            "inside each span. overlap_on's two-phase encoder gives the "
-            "scheduler independent compute to span; overlap_off's "
-            "optimization_barrier chains serialize it.  Wall-clock "
-            "counterpart: multihost_overlap.json (uncontended 2-proc)."
+            "FINDING: both variants report ZERO async pairs because "
+            "XLA:CPU lowers every collective synchronously (and "
+            "multi-chip TPU programs cannot compile through the "
+            "single-chip tunnel) — compiled-schedule async evidence is "
+            "not producible in this environment.  The CPU runtime's "
+            "thunk-level threading is what the UNCONTENDED wall-clock "
+            "A/B measures instead: the two-phase schedule hides 9.9% "
+            "of step wall = 31.5% of exposed communication "
+            "(multihost_overlap.json).  On a real TPU slice the same "
+            "dependency structure is the enabling condition for XLA's "
+            "async-collective scheduler."
         ),
     }
     path = os.path.join(ROOT, "artifacts", "perf",
