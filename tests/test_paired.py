@@ -238,3 +238,45 @@ def test_paired_model_trains_end_to_end():
         trainer.params, dg, (1, 1, 0)
     )
     assert 0.0 <= scores.auroc <= 1.0
+
+
+def test_paired_identity_dropscale_kernel_matches_ref():
+    """The identity fast path: raw weights + in-kernel dropout
+    keep-scales — interpret-mode kernels (fwd and bwd) against the
+    reference math, including the padded-K tail."""
+    _, _, dg = _build(n_genes=40, n_drugs=35, n_dd=2)
+    adj = dg.adj["1,1"]
+    rng = np.random.default_rng(9)
+    two_k, n, h = adj.num_rel, adj.n_rows, 8
+    k = two_k // 2
+    w = jnp.asarray(
+        rng.standard_normal((2, k, h, n)).astype(np.float32)
+    )
+    k8 = adj.pair_scales.shape[0]
+    ds_np = np.zeros((k8, 2, adj.pair_scales.shape[2]), np.float32)
+    keep = 0.9
+    ds_np[:k] = (rng.random((k, 2, n)) < keep) / keep
+    ds = jnp.asarray(ds_np)
+    want = sp.paired_ref_ds(w, adj.pair_mask, adj.pair_scales, ds)
+    got = sp._fwd_call(
+        w, adj.pair_mask, adj.pair_scales, ds=ds,
+        kb=sp.default_kb(k, n), interpret=True,
+    )[:, :n]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+    # backward: the kernel emits the finished weight gradient
+    ct = jnp.asarray(rng.standard_normal((h, n)).astype(np.float32))
+    d_got = sp._bwd_call(
+        ct, adj.pair_mask, adj.pair_scales, k, h, n,
+        kb=sp.default_kb(k, n), ds=ds, out_dtype=jnp.float32,
+        interpret=True,
+    )
+    _, vjp = jax.vjp(
+        lambda q: sp.paired_ref_ds(q, adj.pair_mask, adj.pair_scales, ds),
+        w,
+    )
+    (d_want,) = vjp(ct)
+    np.testing.assert_allclose(
+        np.asarray(d_got), np.asarray(d_want), rtol=3e-2, atol=3e-2
+    )
