@@ -204,11 +204,18 @@ def train_once(
             if str(config.get("DenseDtype", "f32")) in ("bf16", "bfloat16")
             else np.float32
         ),
-        # int8 factored stacks (half the dense path's HBM traffic) —
-        # what spmm_impl="auto" prefers on TPU when built.
+        # int8 factored stacks (half the dense path's HBM traffic).
         dense_factored=bool(
             config.get(
                 "DenseFactored", jax.default_backend() != "cpu"
+            )
+        ),
+        # Paired half-mask stacks + Pallas kernels (round 5) — what
+        # spmm_impl="auto" prefers on TPU when built: one int8 mask
+        # read serves both transpose halves of a square edge type.
+        dense_paired=bool(
+            config.get(
+                "DensePaired", jax.default_backend() != "cpu"
             )
         ),
     )
