@@ -174,10 +174,12 @@ def bench_fullscale() -> dict:
         if a.dense is not None
     ) / 2**30
 
-    # scan_chunk=80: the ~4 ms axon per-dispatch overhead amortizes to
-    # <0.1 ms/step (measured 13.4 -> 12.6 ms/step at paper scale going
-    # 20 -> 80); production configs should chunk at least this deep.
-    cfg = TrainConfig(batch_size=512, learning_rate=1e-3, scan_chunk=80)
+    # scan_chunk=320: the ~4 ms axon per-dispatch overhead and the
+    # scan-boundary bubbles amortize away (measured 13.4 / 12.6 / 12.2 /
+    # 12.0 ms/step at chunks 20 / 80 / 160 / 320 on the paired paper-
+    # scale step); production configs should chunk as deep as their
+    # logging cadence allows.
+    cfg = TrainConfig(batch_size=512, learning_rate=1e-3, scan_chunk=320)
     out = {"host_build_s": round(build_s, 1), "dense_stacks_gb": round(dense_gb, 2)}
 
     model_dense = DecagonModel(
@@ -185,7 +187,7 @@ def bench_fullscale() -> dict:
         device_graph,
     )
     trainer = Trainer(model_dense, graph, splits, device_graph, cfg, seed=0)
-    t_dense = _steady_state_ms(trainer, 80, windows=4)
+    t_dense = _steady_state_ms(trainer, 320, windows=3)
     _progress("dense timed")
     dense = _config_metrics(nnz, t_dense)
     # Memory-bound roofline: the dense stacks are read once per SpMM
@@ -218,7 +220,7 @@ def bench_fullscale() -> dict:
             model_fact, graph, splits, device_graph, cfg, seed=0,
             init_state=jax.tree.map(jnp.copy, trainer.state_dict()),
         )
-        t_fact = _steady_state_ms(trainer_f, 80, windows=4)
+        t_fact = _steady_state_ms(trainer_f, 320, windows=3)
         fact = _config_metrics(nnz, t_fact)
         fact["mask_stacks_gb"] = round(mask_gb, 2)
         # 4 int8 stack passes/step (fwd mask x2 layers, bwd mask_t x2)
@@ -251,7 +253,7 @@ def bench_fullscale() -> dict:
         trainer_pr = Trainer(
             model_pair, graph, splits, device_graph, cfg, seed=0,
         )
-        t_pair = _steady_state_ms(trainer_pr, 80, windows=4)
+        t_pair = _steady_state_ms(trainer_pr, 320, windows=3)
         pair = _config_metrics(nnz, t_pair)
         pair["pair_mask_gb"] = round(pair_gb, 2)
         # 4 passes/step over the HALF stacks (fwd x2 layers, bwd x2).
