@@ -30,6 +30,16 @@ physical bytes of every Adam/dropout/gradient pass over them by ~40%.
 
 Capability parity target: the two ``tf.sparse_tensor_dense_matmul``
 calls at reference ``decagon/deep/layers.py:89-90,114``.
+
+Scope note: paired kernels are the SINGLE-CHIP production path.  Under
+the (row, edge) mesh the output of one mask read lands in TWO different
+row blocks (the direct half scatters to rows i, the transposed half to
+rows j), which breaks the row-partitioned accumulation model the
+sharded encoder is built on — multi-chip paired aggregation would need
+a per-edge-type row-axis reduce-scatter of both halves' partials.  The
+mesh path therefore keeps the dense/factored dispatch
+(``parallel/sharded.py``); its T1 reference in ``scaling_model.json``
+is the dense-stack step.
 """
 
 from __future__ import annotations
