@@ -157,3 +157,32 @@ def test_poly963_reduced_noise_provenance():
     assert meta["model"] == {
         "hidden1": 64, "hidden2": 32, "dropout": 0.1, "spmm_impl": "auto"
     }
+
+
+def test_sparse_regime_1600drugs_learns():
+    """Beyond-paper scale (1600 drugs — dense stacks impossible, the
+    Pallas tiled kernel is the ONLY implementation): the checked-in
+    trajectory must show real learning, with provenance."""
+    import csv
+    import json
+    import os
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "quality",
+    )
+    path = os.path.join(base, "poly963_1600drugs_metrics.csv")
+    assert os.path.exists(path), "missing poly963_1600drugs_metrics.csv"
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) >= 2, "trajectory too short"
+    aurocs = [float(r["TestAUROC"]) for r in rows]
+    assert aurocs[0] > 0.6, "epoch-1 at chance"
+    assert aurocs[-1] >= 0.75, f"final {aurocs[-1]:.4f} below 0.75"
+    assert aurocs[-1] >= aurocs[0] - 0.01, "regressed"
+    with open(
+        os.path.join(base, "poly963_1600drugs_metrics.meta.json")
+    ) as f:
+        meta = json.load(f)
+    assert meta["graph"]["n_drugs"] == 1600
+    assert meta["model"]["spmm_impl"] == "pallas"
